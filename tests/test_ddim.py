@@ -1,0 +1,147 @@
+"""DDIM math vs hand-derived closed forms and the reference's schedule rules
+(oracle: motionclone_functions.py:286-472)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionclone_tpu.config import NoiseScheduleConfig
+from motionclone_tpu.diffusion.ddim import (
+    add_noise,
+    build_timesteps,
+    ddim_step,
+    ddim_variance,
+    make_betas,
+    make_ddim_params,
+    prev_timesteps,
+)
+
+CFG = NoiseScheduleConfig()  # the MotionClone schedule: linear 0.00085..0.012
+
+
+def test_betas_linear_endpoints():
+    betas = make_betas(CFG)
+    assert betas.shape == (1000,)
+    assert betas[0] == pytest.approx(0.00085)
+    assert betas[-1] == pytest.approx(0.012)
+
+
+def test_alphas_cumprod_monotone_decreasing():
+    p = make_ddim_params(CFG)
+    a = np.asarray(p.alphas_cumprod)
+    assert np.all(np.diff(a) < 0)
+    assert 0 < a[-1] < a[0] < 1
+    assert float(p.final_alpha_cumprod) == 1.0  # set_alpha_to_one default
+
+
+def test_uneven_schedule_matches_reference_construction():
+    """Oracle: motionclone_functions.py:432-445 for the t2v_camera config."""
+    ts = build_timesteps(100, 1000, guidance_steps=50, guidance_fraction=0.3)
+    # reference construction, verbatim semantics
+    ref_g = np.linspace(int(0.7 * 1000), 999, 50).round()[::-1].astype(np.int64)
+    ref_v = np.linspace(0, int(0.7 * 1000) - 1, 50).round()[::-1].astype(np.int64)
+    np.testing.assert_array_equal(ts, np.concatenate([ref_g, ref_v]))
+    # descending, in range, guidance phase covers the top fraction
+    assert ts[0] == 999 and ts[49] == 700 and ts[50] == 699 and ts[-1] == 0
+    assert np.all(np.diff(ts) < 0)
+
+
+@pytest.mark.parametrize("spacing", ["linspace", "leading", "trailing"])
+def test_other_spacings(spacing):
+    ts = build_timesteps(50, 1000, spacing=spacing)
+    assert len(ts) == 50
+    assert np.all(np.diff(ts.astype(np.int64)) < 0)
+    assert ts.min() >= 0 and ts.max() < 1000
+
+
+def test_prev_timesteps_reads_from_list_not_stride():
+    ts = build_timesteps(100, 1000, guidance_steps=50, guidance_fraction=0.3)
+    pts = prev_timesteps(ts)
+    np.testing.assert_array_equal(pts[:-1], ts[1:])
+    assert pts[-1] == -1
+
+
+def test_add_noise_closed_form():
+    p = make_ddim_params(CFG)
+    x0 = jnp.ones((2, 3))
+    eps = 2.0 * jnp.ones((2, 3))
+    t = 400
+    a = float(p.alphas_cumprod[t])
+    out = add_noise(p, t, x0, eps)
+    np.testing.assert_allclose(out, a**0.5 + (1 - a) ** 0.5 * 2.0, rtol=1e-6)
+
+
+def test_ddim_step_epsilon_closed_form():
+    """One step must equal sqrt(a_prev)*x0_hat + sqrt(1-a_prev)*eps for eta=0."""
+    p = make_ddim_params(CFG)
+    rng = np.random.default_rng(1)
+    sample = jnp.asarray(rng.normal(size=(1, 4, 8)), dtype=jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(1, 4, 8)), dtype=jnp.float32)
+    t, t_prev = 999, 700
+    a_t = float(p.alphas_cumprod[t])
+    a_prev = float(p.alphas_cumprod[t_prev])
+    x0_hat = (np.asarray(sample) - (1 - a_t) ** 0.5 * np.asarray(eps)) / a_t**0.5
+    expected = a_prev**0.5 * x0_hat + (1 - a_prev) ** 0.5 * np.asarray(eps)
+    got = ddim_step(p, eps, t, t_prev, sample)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=5e-4, atol=1e-5)
+
+
+def test_ddim_step_final_uses_final_alpha():
+    p = make_ddim_params(CFG)
+    sample = jnp.ones((4,))
+    eps = jnp.zeros((4,))
+    # prev_timestep == -1 -> a_prev = final_alpha_cumprod = 1 -> x == x0_hat
+    t = 10
+    a_t = float(p.alphas_cumprod[t])
+    got = ddim_step(p, eps, t, -1, sample)
+    np.testing.assert_allclose(np.asarray(got), 1.0 / a_t**0.5, rtol=1e-5)
+
+
+def test_ddim_step_score_guidance_shifts_epsilon():
+    """Guidance: eps <- eps - g*sqrt(1-a_t)*score applied after x0 prediction
+    (motionclone_functions.py:375-382): pred_x0 must be unguided."""
+    p = make_ddim_params(CFG)
+    rng = np.random.default_rng(2)
+    sample = jnp.asarray(rng.normal(size=(2, 3)), dtype=jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(2, 3)), dtype=jnp.float32)
+    score = jnp.asarray(rng.normal(size=(2, 3)), dtype=jnp.float32)
+    t, t_prev = 999, 700
+    a_t = float(p.alphas_cumprod[t])
+    a_prev = float(p.alphas_cumprod[t_prev])
+    x0_hat = (np.asarray(sample) - (1 - a_t) ** 0.5 * np.asarray(eps)) / a_t**0.5
+    eps_guided = np.asarray(eps) - 1.0 * (1 - a_t) ** 0.5 * np.asarray(score)
+    expected = a_prev**0.5 * x0_hat + (1 - a_prev) ** 0.5 * eps_guided
+    got = ddim_step(p, eps, t, t_prev, sample, score=score, guidance_scale=1.0)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=5e-4, atol=1e-5)
+    # guidance_scale=0 would be a no-op relative to plain step
+    got0 = ddim_step(p, eps, t, t_prev, sample, score=score, guidance_scale=0.0)
+    plain = ddim_step(p, eps, t, t_prev, sample)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(plain), rtol=1e-6)
+
+
+def test_variance_closed_form():
+    p = make_ddim_params(CFG)
+    t, t_prev = 500, 300
+    a_t = float(p.alphas_cumprod[t])
+    a_prev = float(p.alphas_cumprod[t_prev])
+    expected = (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
+    assert float(ddim_variance(p, t, t_prev)) == pytest.approx(expected, rel=1e-6)
+
+
+def test_eta_adds_variance_noise():
+    p = make_ddim_params(CFG)
+    sample = jnp.ones((4,))
+    eps = jnp.ones((4,)) * 0.1
+    noise = jnp.ones((4,))
+    t, t_prev = 500, 300
+    base = ddim_step(p, eps, t, t_prev, sample, eta=0.0)
+    with_noise = ddim_step(p, eps, t, t_prev, sample, eta=0.5, variance_noise=noise)
+    sigma = 0.5 * float(ddim_variance(p, t, t_prev)) ** 0.5
+    # direction term also changes ((1-a_prev-sigma^2)^0.5), so check the
+    # injected-noise component by comparing against the recomputed closed form
+    a_t = float(p.alphas_cumprod[t])
+    a_prev = float(p.alphas_cumprod[t_prev])
+    x0_hat = (1 - (1 - a_t) ** 0.5 * 0.1) / a_t**0.5
+    expected = a_prev**0.5 * x0_hat + (1 - a_prev - sigma**2) ** 0.5 * 0.1 + sigma
+    np.testing.assert_allclose(np.asarray(with_noise), expected, rtol=1e-5)
+    assert not np.allclose(np.asarray(base), np.asarray(with_noise))
