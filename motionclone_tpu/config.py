@@ -40,6 +40,9 @@ class MotionModuleConfig:
     temporal_position_encoding_max_len: int = 24
     temporal_attention_dim_div: int = 1
     zero_initialize: bool = True
+    # fixed at 32 in the reference (motion_module.py:98); configurable here so
+    # tiny test models can use narrow channels
+    norm_num_groups: int = 32
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "MotionModuleConfig":
@@ -315,5 +318,6 @@ def tiny_unet_config() -> UNet3DConfig:
             attention_block_types=("Temporal_Self", "Temporal_Self"),
             temporal_position_encoding=True,
             temporal_position_encoding_max_len=24,
+            norm_num_groups=4,
         ),
     )

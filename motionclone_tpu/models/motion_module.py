@@ -1,0 +1,202 @@
+"""Temporal motion module (AnimateDiff-style) with explicit probability output.
+
+Rebuild of reference motion_module.py:51-345.  The key structural change vs
+the reference: temporal attention probabilities are *returned* as an
+auxiliary output when requested, instead of being captured by mutable
+processor hooks (reference xformer_attention.py:17-38).  That makes the
+motion representation (SURVEY §0) and the guidance loss pure functions of
+the UNet inputs — ``jax.grad``-able with no recorder state.
+
+Parameter paths mirror the motion-module checkpoint keys
+(``temporal_transformer.transformer_blocks.0.attention_blocks.0.to_q`` ...).
+The sinusoidal ``pos_encoder.pe`` buffer is a compile-time constant here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from motionclone_tpu.config import MotionModuleConfig
+from motionclone_tpu.models.embeddings import temporal_positional_encoding
+from motionclone_tpu.models.layers import (
+    group_norm,
+    layer_norm,
+    make_layer_norm,
+)
+from motionclone_tpu.models.attention import FeedForward
+from motionclone_tpu.ops.attention import attention_probs, dot_product_attention
+
+
+class VersatileAttention(nn.Module):
+    """Temporal self-attention over per-pixel frame sequences.
+
+    Input (B, F, S, C) where S = H*W.  Sequences are the F frames at each
+    spatial location (reference motion_module.py:279 ``(b f) d c ->
+    (b d) f c``).  Sinusoidal positional encoding is added to the (already
+    LayerNormed) input before the q/k/v projections
+    (motion_module.py:281-282,293-302).
+
+    Returns ``(out, probs)`` where probs is (B, S, heads, F, F) float32 when
+    ``return_probs`` else None.
+    """
+
+    heads: int
+    dim_head: int
+    query_dim: int
+    use_pos_encoding: bool = True
+    pos_encoding_max_len: int = 24
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, return_probs: bool = False
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        b, f, s, c = x.shape
+        inner = self.heads * self.dim_head
+
+        # (B, F, S, C) -> (B*S, F, C): temporal sequences per pixel
+        h = x.transpose(0, 2, 1, 3).reshape(b * s, f, c)
+
+        if self.use_pos_encoding:
+            pe = temporal_positional_encoding(c, self.pos_encoding_max_len)[:f]
+            h = h + jnp.asarray(pe, dtype=h.dtype)[None]
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(h)
+        q = q.reshape(b * s, f, self.heads, self.dim_head)
+        k = k.reshape(b * s, f, self.heads, self.dim_head)
+        v = v.reshape(b * s, f, self.heads, self.dim_head)
+
+        scale = self.dim_head**-0.5
+        probs = None
+        if return_probs:
+            # the f x f probability block *is* the motion feature
+            # (motionclone_functions.py:260-283)
+            p = attention_probs(q, k, scale)  # (B*S, heads, F, F) f32
+            probs = p.reshape(b, s, self.heads, f, f)
+            out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+        else:
+            out = dot_product_attention(q, k, v, scale=scale, impl="xla")
+
+        out = out.reshape(b * s, f, inner)
+        out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+        # (B*S, F, C) -> (B, F, S, C)
+        out = out.reshape(b, s, f, c).transpose(0, 2, 1, 3)
+        return out, probs
+
+
+class TemporalTransformerBlock(nn.Module):
+    """N temporal attention blocks + feed-forward (motion_module.py:164-225)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    attention_block_types: Tuple[str, ...]
+    use_pos_encoding: bool
+    pos_encoding_max_len: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, return_probs: bool = False
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        probs_out = []
+        for i, block_type in enumerate(self.attention_block_types):
+            assert block_type == "Temporal_Self", block_type
+            h = layer_norm(x, make_layer_norm(name=f"norms_{i}"))
+            out, probs = VersatileAttention(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                query_dim=self.dim,
+                use_pos_encoding=self.use_pos_encoding,
+                pos_encoding_max_len=self.pos_encoding_max_len,
+                dtype=self.dtype,
+                name=f"attention_blocks_{i}",
+            )(h, return_probs=return_probs)
+            x = x + out
+            if return_probs:
+                probs_out.append(probs)
+
+        h = layer_norm(x, make_layer_norm(name="ff_norm"))
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x, tuple(probs_out)
+
+
+class TemporalTransformer3D(nn.Module):
+    """GroupNorm -> proj_in -> temporal blocks -> proj_out -> +residual
+    (motion_module.py:88-161).  Input/output (B, F, H, W, C)."""
+
+    cfg: MotionModuleConfig
+    zero_init_proj_out: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, return_probs: bool = False
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        b, f, hh, ww, c = x.shape
+        residual = x
+        heads = self.cfg.num_attention_heads
+        dim_head = c // heads // self.cfg.temporal_attention_dim_div
+        inner = heads * dim_head
+
+        h = group_norm(
+            x,
+            nn.GroupNorm(
+                num_groups=self.cfg.norm_num_groups,
+                epsilon=1e-6,
+                dtype=jnp.float32,
+                name="norm",
+            ),
+            per_frame=True,  # reference folds frames before this norm
+        )
+        h = h.reshape(b, f, hh * ww, c)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+
+        all_probs = []
+        for i in range(self.cfg.num_transformer_block):
+            h, probs = TemporalTransformerBlock(
+                dim=inner,
+                heads=heads,
+                dim_head=dim_head,
+                attention_block_types=self.cfg.attention_block_types,
+                use_pos_encoding=self.cfg.temporal_position_encoding,
+                pos_encoding_max_len=self.cfg.temporal_position_encoding_max_len,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(h, return_probs=return_probs)
+            all_probs.extend(probs)
+
+        kwargs = (
+            dict(kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros)
+            if self.zero_init_proj_out
+            else {}
+        )
+        h = nn.Dense(c, dtype=self.dtype, name="proj_out", **kwargs)(h)
+        h = h.reshape(b, f, hh, ww, c)
+        return h + residual, tuple(all_probs)
+
+
+class VanillaTemporalModule(nn.Module):
+    """Wrapper matching the checkpoint nesting ``...motion_modules.N.
+    temporal_transformer...`` (motion_module.py:51-85).  ``zero_initialize``
+    makes the module an identity at init (proj_out zeroed,
+    motion_module.py:77-78)."""
+
+    cfg: MotionModuleConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, return_probs: bool = False
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        return TemporalTransformer3D(
+            cfg=self.cfg,
+            zero_init_proj_out=self.cfg.zero_initialize,
+            dtype=self.dtype,
+            name="temporal_transformer",
+        )(x, return_probs=return_probs)

@@ -1,0 +1,130 @@
+"""UNet3D structural tests on a tiny config (CPU-fast)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionclone_tpu.config import tiny_unet_config
+from motionclone_tpu.models.unet3d import UNet3DConditionModel
+
+B, F, H, W = 1, 4, 16, 16
+
+
+@pytest.fixture(scope="module")
+def unet_and_params():
+    cfg = tiny_unet_config()
+    model = UNet3DConditionModel(cfg=cfg, guidance_blocks=("up_blocks.1",))
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((B, F, H, W, 4))
+    ctx = jnp.zeros((B, 77, cfg.cross_attention_dim))
+    params = model.init(rng, sample, jnp.array([1]), ctx)
+    return model, params, cfg
+
+
+def test_forward_shapes_and_probs(unet_and_params):
+    model, params, cfg = unet_and_params
+    rng = np.random.default_rng(0)
+    sample = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), dtype=jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 77, cfg.cross_attention_dim)), jnp.float32)
+    out, probs = model.apply(params, sample, jnp.array([500]), ctx)
+    assert out.shape == (B, F, H, W, 4)
+    # up_blocks.1 has layers_per_block+1 = 2 motion modules x 2 attention blocks
+    assert len(probs) == 4
+    for key, p in probs.items():
+        assert key.startswith("up_blocks.1.motion_modules.")
+        assert ".temporal_transformer.transformer_blocks.0.attention_blocks." in key
+        # (B, S, heads, F, F); up_blocks.1 runs at H/4 x W/4 for this 4-level net
+        assert p.shape[0] == B and p.shape[2] == 2 and p.shape[3:] == (F, F)
+        # probability rows sum to one
+        np.testing.assert_allclose(np.asarray(p.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_extraction_early_exit(unet_and_params):
+    model, params, cfg = unet_and_params
+    rng = np.random.default_rng(1)
+    sample = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), dtype=jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 77, cfg.cross_attention_dim)), jnp.float32)
+    out, probs = model.apply(params, sample, jnp.array([400]), ctx, max_up_block=1)
+    assert out is None
+    assert len(probs) == 4
+    # probs must match the full forward exactly (same computation prefix)
+    _, probs_full = model.apply(params, sample, jnp.array([400]), ctx)
+    for k in probs:
+        np.testing.assert_allclose(
+            np.asarray(probs[k]), np.asarray(probs_full[k]), rtol=1e-6
+        )
+
+
+def test_zero_init_motion_module_params(unet_and_params):
+    """zero_initialize=True zeroes every temporal proj_out (motion_module.py:77-78)."""
+    _, params, _ = unet_and_params
+    found = 0
+
+    def walk(tree, path=""):
+        nonlocal found
+        for k, v in tree.items():
+            p = f"{path}/{k}"
+            if isinstance(v, dict):
+                walk(v, p)
+            elif "temporal_transformer" in p and "/proj_out/" in p:
+                assert np.all(np.asarray(v) == 0), p
+                found += 1
+
+    walk(params["params"])
+    assert found >= 2  # kernel+bias of at least one motion module
+
+
+def test_grad_flows_from_probs_to_sample(unet_and_params):
+    """The guidance gradient path: d(loss(probs)) / d(latents) is nonzero."""
+    model, params, cfg = unet_and_params
+    rng = np.random.default_rng(2)
+    sample = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), dtype=jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 77, cfg.cross_attention_dim)), jnp.float32)
+
+    def loss_fn(s):
+        _, probs = model.apply(params, s, jnp.array([500]), ctx, max_up_block=1)
+        return sum(jnp.sum(p**2) for p in probs.values())
+
+    g = jax.grad(loss_fn)(sample)
+    assert g.shape == sample.shape
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_controlnet_residual_injection(unet_and_params):
+    model, params, cfg = unet_and_params
+    rng = np.random.default_rng(3)
+    sample = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), dtype=jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 77, cfg.cross_attention_dim)), jnp.float32)
+    out0, _ = model.apply(params, sample, jnp.array([500]), ctx)
+    # 1 conv_in + 4 blocks: 3 blocks contribute layers+downsample, final no ds
+    # layers_per_block=1 -> skips: 1 + (1+1)*3 + 1 = 8
+    n_skips = 1 + (1 + 1) * 3 + 1
+    down_res = tuple(
+        jnp.zeros((1, 1, 1, 1, 1)) for _ in range(n_skips)
+    )  # broadcastable zeros: no-op
+    mid_res = jnp.zeros((1, 1, 1, 1, 1))
+    out1, _ = model.apply(
+        params, sample, jnp.array([500]), ctx,
+        down_block_residuals=down_res, mid_block_residual=mid_res,
+    )
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-6)
+    # nonzero mid residual changes the output
+    out2, _ = model.apply(
+        params, sample, jnp.array([500]), ctx,
+        mid_block_residual=jnp.ones((1, 1, 1, 1, 1)),
+    )
+    assert np.abs(np.asarray(out2) - np.asarray(out0)).max() > 1e-4
+
+
+def test_no_guidance_blocks_returns_empty_probs():
+    cfg = tiny_unet_config()
+    model = UNet3DConditionModel(cfg=cfg, guidance_blocks=())
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((B, F, H, W, 4))
+    ctx = jnp.zeros((B, 77, cfg.cross_attention_dim))
+    params = model.init(rng, sample, jnp.array([1]), ctx)
+    out, probs = model.apply(params, sample, jnp.array([1]), ctx)
+    assert out.shape == (B, F, H, W, 4)
+    assert probs == {}
