@@ -1,0 +1,327 @@
+"""The MotionClone algorithm as pure jitted functions.
+
+Rebuild of the reference's pipeline layer (reference
+motionclone_functions.py:26-257 ``obtain_motion_representation`` /
+``sample_video`` / ``single_step_video``), restructured for XLA:
+
+* extraction is one jitted truncated UNet forward + top-1 sparsification;
+* sampling is two consecutive ``lax.scan`` phases under one ``jit`` —
+  a guided phase whose body is ``jax.value_and_grad`` through the UNet
+  (replacing torch.autograd.grad, reference :236) and a vanilla batch-2
+  CFG phase — with per-step timesteps/ramps as scan inputs so the uneven
+  schedule costs nothing;
+* CFG keeps the reference's nonstandard base:
+  ``cond + s*(cond - uncond)`` (reference :239,:255 — SURVEY §8 preserve).
+
+The guided body evaluates the conditional UNet *once*, returning
+``(loss, noise_pred)`` from the same pass (the reference runs the pass and
+keeps activations alive for a separate backward; here linearization does
+that structurally), and the no-grad cut after the last guidance block
+(reference :629) is automatic: ops feeding only the aux ``noise_pred`` are
+not differentiated, so XLA stores no residuals for them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionclone_tpu.config import InferenceConfig, NoiseScheduleConfig, UNet3DConfig
+from motionclone_tpu.diffusion.ddim import (
+    DDIMParams,
+    add_noise,
+    build_timesteps,
+    ddim_step,
+    make_ddim_params,
+    prev_timesteps,
+)
+from motionclone_tpu.diffusion.guidance import (
+    motion_guidance_loss,
+    ramp_scales,
+    sparsify_top1,
+)
+from motionclone_tpu.models.unet3d import UNet3DConditionModel
+
+MotionRep = Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+def guidance_cut_index(guidance_blocks: Tuple[str, ...]) -> int:
+    """Index of the last up-block needed for guidance features.
+
+    The reference parses the trailing int of the last entry
+    (motionclone_functions.py:602); same rule here.
+    """
+    return int(guidance_blocks[-1].rsplit(".", 1)[-1])
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingFns:
+    """Jitted entry points over (params, arrays) — all pure."""
+
+    extract: Callable[..., MotionRep]
+    sample: Callable[..., jnp.ndarray]
+    timesteps: np.ndarray
+    ddim: DDIMParams
+
+
+def make_sampling_fns(
+    unet_cfg: UNet3DConfig,
+    sched_cfg: NoiseScheduleConfig,
+    infer_cfg: InferenceConfig,
+    *,
+    dtype: jnp.dtype = jnp.bfloat16,
+    attention_impl: str = "auto",
+    remat_guided: bool = True,
+    controlnet_apply: Optional[Callable] = None,
+) -> SamplingFns:
+    """Build the jitted extract/sample functions for one workload config.
+
+    ``controlnet_apply(params_cn, noisy_latents, t, text_emb) ->
+    (down_residuals, mid_residual)`` is an optional hook for the i2v
+    workloads (SparseCtrl); None for t2v.
+    """
+    ddim = make_ddim_params(sched_cfg)
+    guided_unet = UNet3DConditionModel(
+        cfg=unet_cfg,
+        guidance_blocks=tuple(infer_cfg.motion_guidance_blocks),
+        attention_impl=attention_impl,
+        dtype=dtype,
+    )
+    plain_unet = UNet3DConditionModel(
+        cfg=unet_cfg, guidance_blocks=(), attention_impl=attention_impl, dtype=dtype
+    )
+    cut = guidance_cut_index(infer_cfg.motion_guidance_blocks)
+
+    timesteps = build_timesteps(
+        infer_cfg.inference_steps,
+        sched_cfg.num_train_timesteps,
+        guidance_steps=infer_cfg.guidance_steps,
+        guidance_fraction=infer_cfg.guidance_fraction,
+        steps_offset=sched_cfg.steps_offset,
+        spacing="uneven",
+    )
+    t_prev = prev_timesteps(timesteps)
+    ramps = ramp_scales(
+        infer_cfg.guidance_steps, infer_cfg.warm_up_steps, infer_cfg.cool_up_steps
+    )
+    g = infer_cfg.guidance_steps
+
+    ts_guided = jnp.asarray(timesteps[:g])
+    tp_guided = jnp.asarray(t_prev[:g])
+    ramps_guided = jnp.asarray(ramps)
+    ts_vanilla = jnp.asarray(timesteps[g:])
+    tp_vanilla = jnp.asarray(t_prev[g:])
+
+    # ------------------------------------------------------------------
+    # extraction (reference motionclone_functions.py:26-82)
+    # ------------------------------------------------------------------
+
+    def _extract(params, video_latents, noise, uncond_emb, cn=None):
+        noisy = add_noise(ddim, infer_cfg.add_noise_step, video_latents, noise)
+        down_res, mid_res = (None, None) if cn is None else cn
+        _, probs = guided_unet.apply(
+            params,
+            noisy,
+            jnp.asarray(infer_cfg.add_noise_step),
+            uncond_emb,
+            down_block_residuals=down_res,
+            mid_block_residual=mid_res,
+            max_up_block=cut,
+        )
+        return {k: sparsify_top1(p) for k, p in probs.items()}
+
+    extract = jax.jit(_extract)
+
+    # ------------------------------------------------------------------
+    # sampling (reference motionclone_functions.py:102-257)
+    # ------------------------------------------------------------------
+
+    def _unet_loss(params, latents, t, cond_emb, motion_rep, cn_res):
+        down_res, mid_res = cn_res
+        noise_pred, probs = guided_unet.apply(
+            params,
+            latents,
+            t,
+            cond_emb,
+            down_block_residuals=down_res,
+            mid_block_residual=mid_res,
+        )
+        loss = infer_cfg.motion_guidance_weight * motion_guidance_loss(
+            probs, motion_rep
+        )
+        return loss, noise_pred
+
+    if remat_guided:
+        # bound backward memory: recompute block activations instead of
+        # saving the whole 512^2 graph (the analog of the reference's
+        # fp16 + partial-no-grad memory cap, SURVEY §7 hard part 2)
+        _unet_loss = jax.checkpoint(
+            _unet_loss,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            static_argnums=(),
+        )
+
+    grad_fn = jax.value_and_grad(_unet_loss, argnums=1, has_aux=True)
+
+    def _sample(
+        params,
+        init_latents,
+        uncond_emb,
+        cond_emb,
+        motion_rep: MotionRep,
+        cn_params=None,
+        cn_cond=None,
+    ):
+        cfg_scale = infer_cfg.cfg_scale
+
+        def controlnet_residuals(latents, t, emb_pair):
+            if controlnet_apply is None:
+                return (None, None), (None, None)
+            # batch-2 controlnet forward, residuals split per CFG half
+            # (reference :190-208)
+            lat2 = jnp.concatenate([latents, latents], axis=0)
+            down, mid = controlnet_apply(cn_params, lat2, t, emb_pair, cn_cond)
+            down_u = tuple(d[:1] for d in down)
+            down_c = tuple(d[1:] for d in down)
+            return (down_u, mid[:1]), (down_c, mid[1:])
+
+        emb_pair = jnp.concatenate([uncond_emb, cond_emb], axis=0)
+
+        def guided_step(latents, step):
+            t, tp, ramp = step
+            cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
+            uncond_pred, _ = plain_unet.apply(
+                params,
+                latents,
+                t,
+                uncond_emb,
+                down_block_residuals=cn_u[0],
+                mid_block_residual=cn_u[1],
+            )
+            (loss, cond_pred), grad = grad_fn(
+                params, latents, t, cond_emb, motion_rep, cn_c
+            )
+            grad = grad * ramp  # loss ramps scale the score linearly
+            noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
+            new_latents = ddim_step(
+                ddim, noise_pred, t, tp, latents, score=grad, guidance_scale=1.0
+            )
+            return new_latents, loss
+
+        def vanilla_step(latents, step):
+            t, tp = step
+            cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
+            if cn_u[0] is None:
+                down_res, mid_res = None, None
+            else:
+                down_res = tuple(
+                    jnp.concatenate([u, c], axis=0) for u, c in zip(cn_u[0], cn_c[0])
+                )
+                mid_res = jnp.concatenate([cn_u[1], cn_c[1]], axis=0)
+            lat2 = jnp.concatenate([latents, latents], axis=0)
+            pred2, _ = plain_unet.apply(
+                params,
+                lat2,
+                t,
+                emb_pair,
+                down_block_residuals=down_res,
+                mid_block_residual=mid_res,
+            )
+            uncond_pred, cond_pred = pred2[:1], pred2[1:]
+            noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
+            new_latents = ddim_step(ddim, noise_pred, t, tp, latents)
+            return new_latents, jnp.zeros(())
+
+        latents = init_latents  # init_noise_sigma == 1 for DDIM
+        latents, losses = jax.lax.scan(
+            guided_step, latents, (ts_guided, tp_guided, ramps_guided)
+        )
+        latents, _ = jax.lax.scan(vanilla_step, latents, (ts_vanilla, tp_vanilla))
+        return latents
+
+    sample = jax.jit(_sample)
+
+    return SamplingFns(extract=extract, sample=sample, timesteps=timesteps, ddim=ddim)
+
+
+class MotionClonePipeline:
+    """Host-side orchestration: seeds, persistence, VAE/text integration.
+
+    The compute path is entirely inside :func:`make_sampling_fns`; this class
+    mirrors the user-facing surface of the reference's ``AnimationPipeline``
+    plus bound functions (obtain_motion_representation / sample_video).
+    """
+
+    def __init__(
+        self,
+        unet_cfg: UNet3DConfig,
+        sched_cfg: NoiseScheduleConfig,
+        infer_cfg: InferenceConfig,
+        params: Mapping[str, Any],
+        *,
+        vae=None,
+        text_encoder=None,
+        dtype: jnp.dtype = jnp.bfloat16,
+        attention_impl: str = "auto",
+        controlnet_apply=None,
+        cn_params=None,
+    ):
+        self.unet_cfg = unet_cfg
+        self.sched_cfg = sched_cfg
+        self.infer_cfg = infer_cfg
+        self.params = params
+        self.vae = vae
+        self.text_encoder = text_encoder
+        self.cn_params = cn_params
+        self.fns = make_sampling_fns(
+            unet_cfg,
+            sched_cfg,
+            infer_cfg,
+            dtype=dtype,
+            attention_impl=attention_impl,
+            controlnet_apply=controlnet_apply,
+        )
+        self.dtype = dtype
+
+    # -- latent-space API (VAE/text handled by caller or encode helpers) --
+
+    def extract_motion_representation(
+        self, video_latents: jnp.ndarray, uncond_emb: jnp.ndarray, seed: int,
+        cn=None,
+    ) -> MotionRep:
+        """One truncated forward -> sparse motion rep (reference :26-82)."""
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(key, video_latents.shape, dtype=jnp.float32)
+        rep = self.fns.extract(
+            self.params, video_latents, noise.astype(video_latents.dtype),
+            uncond_emb, cn,
+        )
+        return jax.tree_util.tree_map(np.asarray, rep)
+
+    def sample_latents(
+        self,
+        uncond_emb: jnp.ndarray,
+        cond_emb: jnp.ndarray,
+        motion_rep: MotionRep,
+        seed: int,
+        cn_cond=None,
+    ) -> jnp.ndarray:
+        """Guided DDIM sampling -> final latents (reference :102-171)."""
+        cfg = self.infer_cfg
+        shape = (
+            1,
+            cfg.video_length,
+            cfg.height // 8,
+            cfg.width // 8,
+            self.unet_cfg.in_channels,
+        )
+        key = jax.random.PRNGKey(seed)
+        latents = jax.random.normal(key, shape, dtype=jnp.float32).astype(self.dtype)
+        return self.fns.sample(
+            self.params, latents, uncond_emb, cond_emb, motion_rep,
+            self.cn_params, cn_cond,
+        )

@@ -1,0 +1,115 @@
+"""End-to-end pipeline test on a tiny config (latent-space API, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionclone_tpu.config import (
+    InferenceConfig,
+    NoiseScheduleConfig,
+    tiny_unet_config,
+)
+from motionclone_tpu.models.unet3d import UNet3DConditionModel
+from motionclone_tpu.pipeline.motionclone import (
+    MotionClonePipeline,
+    guidance_cut_index,
+)
+
+B, F, H, W = 1, 4, 16, 16
+
+
+def make_infer_cfg(**kw):
+    base = dict(
+        inference_steps=6,
+        guidance_steps=4,
+        guidance_fraction=0.3,
+        warm_up_steps=2,
+        cool_up_steps=2,
+        motion_guidance_weight=100.0,
+        motion_guidance_blocks=("up_blocks.1",),
+        add_noise_step=400,
+        width=W * 8,
+        height=H * 8,
+        video_length=F,
+        cfg_scale=7.5,
+    )
+    base.update(kw)
+    return InferenceConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    unet_cfg = tiny_unet_config()
+    infer_cfg = make_infer_cfg()
+    sched_cfg = NoiseScheduleConfig()
+    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
+    sample = jnp.zeros((B, F, H, W, 4))
+    ctx = jnp.zeros((B, 77, unet_cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx)
+    return MotionClonePipeline(
+        unet_cfg, sched_cfg, infer_cfg, params, dtype=jnp.float32
+    )
+
+
+def _embs(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    uncond = jnp.asarray(rng.normal(size=(1, 77, cfg.cross_attention_dim)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(1, 77, cfg.cross_attention_dim)), jnp.float32)
+    return uncond, cond
+
+
+def test_guidance_cut_index():
+    assert guidance_cut_index(("up_blocks.1",)) == 1
+    assert guidance_cut_index(("up_blocks.0", "up_blocks.2")) == 2
+
+
+def test_extract_and_sample_end_to_end(pipeline):
+    unet_cfg = pipeline.unet_cfg
+    rng = np.random.default_rng(0)
+    video_latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    uncond, cond = _embs(unet_cfg)
+
+    rep = pipeline.extract_motion_representation(video_latents, uncond, seed=42)
+    # up_blocks.1: 2 motion modules x 2 attention blocks
+    assert len(rep) == 4
+    for name, (values, indices) in rep.items():
+        assert values.dtype == np.float32 and indices.dtype == np.uint8
+        assert values.shape == indices.shape
+        assert values.shape[-2:] == (F, 1)
+        assert (values > 0).all() and (values <= 1.0 + 1e-6).all()
+        assert (indices < F).all()
+
+    out = pipeline.sample_latents(uncond, cond, rep, seed=7)
+    assert out.shape == (B, F, H, W, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # determinism: same seeds -> identical output
+    out2 = pipeline.sample_latents(uncond, cond, rep, seed=7)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    # different seed -> different output
+    out3 = pipeline.sample_latents(uncond, cond, rep, seed=8)
+    assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 1e-4
+
+
+def test_guidance_actually_steers(pipeline):
+    """Sampling with motion guidance must differ from weight=0 sampling."""
+    unet_cfg = pipeline.unet_cfg
+    rng = np.random.default_rng(3)
+    video_latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    uncond, cond = _embs(unet_cfg, seed=1)
+    rep = pipeline.extract_motion_representation(video_latents, uncond, seed=42)
+    out_guided = pipeline.sample_latents(uncond, cond, rep, seed=7)
+
+    from motionclone_tpu.pipeline.motionclone import MotionClonePipeline
+
+    pipe0 = MotionClonePipeline(
+        pipeline.unet_cfg,
+        pipeline.sched_cfg,
+        make_infer_cfg(motion_guidance_weight=0.0),
+        pipeline.params,
+        dtype=jnp.float32,
+    )
+    out_plain = pipe0.sample_latents(uncond, cond, rep, seed=7)
+    assert np.abs(np.asarray(out_guided) - np.asarray(out_plain)).max() > 1e-5
