@@ -1,0 +1,185 @@
+"""High-level weight assembly: files -> validated flax parameter trees.
+
+Mirrors the reference's loading flow (t2v_video_sample.py:23-53 +
+util.py:115-215 ``load_weights``):
+
+  1. base SD1.5 weights from a diffusers-format directory (2D UNet keys
+     load into the 3D tree non-strictly — motion modules come later);
+  2. motion-module checkpoint merged in (keys containing
+     ``motion_modules.``, util.py:128-137);
+  3. optional DreamBooth LDM checkpoint replacing UNet/VAE/CLIP bases
+     (util.py:142-168);
+  4. optional LoRA merges (util.py:185-213);
+  5. torch->flax conversion and strict shape/coverage validation.
+
+Every step operates on flat numpy state dicts; nothing touches the
+accelerator until the final device put.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionclone_tpu.config import UNet3DConfig
+from motionclone_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from motionclone_tpu.models.unet3d import UNet3DConditionModel
+from motionclone_tpu.models.vae import AutoencoderKL, VAEConfig
+from motionclone_tpu.weights.convert import (
+    merge_state_dicts,
+    torch_to_flax,
+    validate_against,
+)
+from motionclone_tpu.weights.io import load_state_dict
+from motionclone_tpu.weights.ldm import (
+    convert_ldm_clip,
+    convert_ldm_unet,
+    convert_ldm_vae,
+)
+from motionclone_tpu.weights.lora import merge_diffusers_lora
+
+StateDict = Dict[str, np.ndarray]
+
+
+def _first_existing(*paths: str) -> Optional[str]:
+    for p in paths:
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def _shape_tree(model, *args) -> Mapping[str, Any]:
+    """Parameter shapes via abstract evaluation — no FLOPs, no memory."""
+    return jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *args))
+
+
+# ---------------------------------------------------------------------------
+# per-model state-dict -> flax tree
+# ---------------------------------------------------------------------------
+
+
+def unet_params_from_state_dict(
+    sd: Mapping[str, np.ndarray],
+    unet_cfg: UNet3DConfig,
+    *,
+    dtype: Optional[np.dtype] = None,
+    validate: bool = True,
+) -> Dict[str, Any]:
+    tree = torch_to_flax(sd, dtype=dtype)
+    if validate:
+        model = UNet3DConditionModel(cfg=unet_cfg)
+        sample = jnp.zeros((1, 2, 8, 8, unet_cfg.in_channels))
+        ctx = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
+        ref = _shape_tree(model, sample, jnp.zeros((1,), jnp.int32), ctx)
+        validate_against({"params": tree}, ref)
+    return {"params": tree}
+
+
+def vae_params_from_state_dict(
+    sd: Mapping[str, np.ndarray],
+    vae_cfg: VAEConfig,
+    *,
+    dtype: Optional[np.dtype] = None,
+    validate: bool = True,
+) -> Dict[str, Any]:
+    tree = torch_to_flax(sd, dtype=dtype)
+    if validate:
+        model = AutoencoderKL(cfg=vae_cfg)
+        x = jnp.zeros((1, 1, 32, 32, vae_cfg.in_channels))
+        ref = _shape_tree(model, x)
+        validate_against({"params": tree}, ref)
+    return {"params": tree}
+
+
+def clip_params_from_state_dict(
+    sd: Mapping[str, np.ndarray],
+    clip_cfg: CLIPTextConfig,
+    *,
+    dtype: Optional[np.dtype] = None,
+    validate: bool = True,
+) -> Dict[str, Any]:
+    """HF CLIPTextModel keys -> our flax tree (flat text tower)."""
+    remapped: StateDict = {}
+    for k, v in sd.items():
+        key = k
+        if key.startswith("text_model."):
+            key = key[len("text_model."):]
+        if key.endswith("position_ids") or key.startswith("text_projection"):
+            continue
+        key = key.replace("embeddings.token_embedding", "token_embedding")
+        key = key.replace("embeddings.position_embedding", "position_embedding")
+        key = key.replace("encoder.layers.", "layers.")
+        key = key.replace("mlp.fc1", "mlp_fc1").replace("mlp.fc2", "mlp_fc2")
+        remapped[key] = v
+    tree = torch_to_flax(remapped, dtype=dtype)
+    if validate:
+        model = CLIPTextModel(cfg=clip_cfg)
+        ids = jnp.zeros((1, clip_cfg.max_position_embeddings), jnp.int32)
+        ref = _shape_tree(model, ids)
+        validate_against({"params": tree}, ref)
+    return {"params": tree}
+
+
+# ---------------------------------------------------------------------------
+# directory-level assembly
+# ---------------------------------------------------------------------------
+
+
+def load_diffusers_module_sd(pretrained_dir: str, subfolder: str) -> StateDict:
+    path = _first_existing(
+        os.path.join(pretrained_dir, subfolder, "diffusion_pytorch_model.safetensors"),
+        os.path.join(pretrained_dir, subfolder, "diffusion_pytorch_model.bin"),
+        os.path.join(pretrained_dir, subfolder, "model.safetensors"),
+        os.path.join(pretrained_dir, subfolder, "pytorch_model.bin"),
+    )
+    if path is None:
+        raise FileNotFoundError(
+            f"no checkpoint found under {pretrained_dir}/{subfolder}"
+        )
+    return load_state_dict(path)
+
+
+def assemble_pipeline_state_dicts(
+    pretrained_dir: str,
+    *,
+    motion_module_path: str = "",
+    dreambooth_path: str = "",
+    adapter_lora_path: str = "",
+    adapter_lora_scale: float = 1.0,
+) -> Dict[str, StateDict]:
+    """Produce final flat state dicts for unet/vae/text_encoder.
+
+    The UNet dict includes merged motion-module weights; DreamBooth
+    checkpoints override base SD weights exactly as the reference does
+    (util.py:142-168: VAE and CLIP fully replaced, UNet image layers
+    replaced with motion modules retained).
+    """
+    sd_unet = load_diffusers_module_sd(pretrained_dir, "unet")
+    sd_vae = load_diffusers_module_sd(pretrained_dir, "vae")
+    sd_clip = load_diffusers_module_sd(pretrained_dir, "text_encoder")
+
+    if dreambooth_path:
+        db = load_state_dict(dreambooth_path)
+        sd_unet_db = convert_ldm_unet(db)
+        sd_vae_db = convert_ldm_vae(db)
+        sd_clip_db = convert_ldm_clip(db)
+        if sd_unet_db:
+            sd_unet = merge_state_dicts(sd_unet, sd_unet_db)
+        if sd_vae_db:
+            sd_vae = sd_vae_db
+        if sd_clip_db:
+            sd_clip = sd_clip_db
+
+    if motion_module_path:
+        mm = load_state_dict(motion_module_path)
+        sd_unet = merge_state_dicts(sd_unet, mm, filter_substring="motion_modules.")
+
+    if adapter_lora_path:
+        lora = load_state_dict(adapter_lora_path)
+        sd_unet = merge_diffusers_lora(sd_unet, lora, alpha=adapter_lora_scale)
+
+    return {"unet": sd_unet, "vae": sd_vae, "text_encoder": sd_clip}
