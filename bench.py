@@ -1,0 +1,141 @@
+"""Benchmark: 16-frame 512x512 guided T2V sampling on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md); the driver-defined north
+star is < 30 s per guided video on one v5e chip, so ``vs_baseline`` reports
+30 / measured_seconds (>1 means beating the target).
+
+The measured quantity is the full t2v_camera sampling workload
+(configs/t2v_camera.yaml: 100 DDIM steps, 50 guided with grad-through-UNet)
+plus whole-clip VAE decode, on random bf16 weights (no checkpoints are
+shipped in this environment; FLOP/byte costs are weight-value independent).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent compile cache: first run pays ~10 min of XLA compiles, reruns skip
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from motionclone_tpu.config import (  # noqa: E402
+    InferenceConfig,
+    NoiseScheduleConfig,
+    UNet3DConfig,
+)
+from motionclone_tpu.models.unet3d import UNet3DConditionModel  # noqa: E402
+from motionclone_tpu.models.vae import AutoencoderKL, VAEConfig  # noqa: E402
+from motionclone_tpu.pipeline.motionclone import make_sampling_fns  # noqa: E402
+
+GUIDANCE_BLOCKS = ("up_blocks.1",)
+TARGET_SECONDS = 30.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    unet_cfg = UNet3DConfig()
+    sched_cfg = NoiseScheduleConfig()
+    # t2v_camera knobs (configs/t2v_camera.yaml)
+    infer_cfg = InferenceConfig(
+        inference_steps=100,
+        guidance_steps=50,
+        guidance_fraction=0.3,
+        warm_up_steps=10,
+        cool_up_steps=10,
+        motion_guidance_weight=2000.0,
+        motion_guidance_blocks=GUIDANCE_BLOCKS,
+        width=512,
+        height=512,
+        video_length=16,
+        cfg_scale=7.5,
+    )
+    dtype = jnp.bfloat16
+    B, F = 1, infer_cfg.video_length
+    H = W = infer_cfg.height // 8
+
+    log(f"devices: {jax.devices()}")
+    model = UNet3DConditionModel(
+        cfg=unet_cfg, guidance_blocks=GUIDANCE_BLOCKS, dtype=dtype
+    )
+    sample0 = jnp.zeros((B, F, H, W, 4), dtype)
+    ctx0 = jnp.zeros((B, 77, 768), dtype)
+    t0 = time.time()
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
+    )()
+    jax.block_until_ready(params)
+    log(f"unet params initialized in {time.time()-t0:.0f}s")
+
+    vae_cfg = VAEConfig()
+    vae = AutoencoderKL(cfg=vae_cfg, dtype=dtype)
+    t0 = time.time()
+    vae_params = jax.jit(
+        lambda: vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 64, 64, 3), dtype))
+    )()
+    jax.block_until_ready(vae_params)
+    log(f"vae params initialized in {time.time()-t0:.0f}s")
+    decode = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))
+
+    fns = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    uncond = jnp.asarray(rng.normal(size=(B, 77, 768)), jnp.float32).astype(dtype)
+    cond = jnp.asarray(rng.normal(size=(B, 77, 768)), jnp.float32).astype(dtype)
+    s_hw = 16 * 16  # up_blocks.1 spatial positions at 512^2
+    rep = {}
+    for m in range(3):
+        for a in range(2):
+            name = (
+                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
+                f".transformer_blocks.0.attention_blocks.{a}"
+            )
+            rep[name] = (
+                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, 8, F, 1)), jnp.float32),
+                jnp.asarray(rng.integers(0, F, size=(B, s_hw, 8, F, 1)), np.uint8),
+            )
+
+    # warm-up: compile sampling scan + decode
+    t0 = time.time()
+    out = fns.sample(params, latents, uncond, cond, rep, None, None)
+    frames = decode(vae_params, out.astype(dtype))
+    jax.block_until_ready(frames)
+    log(f"compile+first run: {time.time()-t0:.0f}s")
+
+    # timed run (different seed latents so nothing can be elided)
+    latents2 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    t0 = time.time()
+    out = fns.sample(params, latents2, uncond, cond, rep, None, None)
+    frames = decode(vae_params, out.astype(dtype))
+    np.asarray(frames)  # force fetch
+    elapsed = time.time() - t0
+    steps_per_sec = infer_cfg.inference_steps / elapsed
+    log(
+        f"sampling: {elapsed:.2f}s/video, {steps_per_sec:.2f} denoise steps/s/chip"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "sec_per_video_t2v_camera_512x512x16f",
+                "value": round(elapsed, 3),
+                "unit": "s",
+                "vs_baseline": round(TARGET_SECONDS / elapsed, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,13 +51,20 @@ def motion_guidance_loss(
 
     Matches ``compute_temp_loss`` (motionclone_functions.py:85-100): per-module
     mean squared error, summed across modules.  Computed in float32.
+
+    The MSE is a per-example mean (axes 1..n) summed over the leading batch
+    axis, so batching independent examples (data-parallel sweeps, SURVEY
+    §2.5) yields exactly the reference's per-example gradients; for batch
+    size 1 this is the reference's plain mean.
     """
     losses = []
     for name in sorted(current_probs.keys()):
         values, indices = motion_representation[name]
         picked = gather_sparse_probs(current_probs[name].astype(jnp.float32), indices)
         target = jnp.asarray(values, dtype=jnp.float32)
-        losses.append(jnp.mean((picked - target) ** 2))
+        sq = (picked - target) ** 2
+        per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=1)
+        losses.append(jnp.sum(per_example))
     return jnp.sum(jnp.stack(losses))
 
 

@@ -1,0 +1,61 @@
+"""Device mesh + sharding for data-parallel sweeps.
+
+The reference is strictly single-GPU (SURVEY §2.5); parallelism here is the
+additive TPU-native design:
+
+* ``data`` axis — independent JSONL examples (and/or the CFG pair) shard
+  across chips; XLA inserts any needed collectives over ICI.
+* model parameters are replicated (SD1.5 UNet fits comfortably per chip in
+  bf16); no tensor/pipeline split is warranted at this model size.
+
+Single-chip execution is the degenerate 1-device mesh, so there is exactly
+one code path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: Optional[int] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """A 1-D ``data`` mesh over the first ``num_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested {num_devices} devices, have {len(devices)}"
+            )
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch / example) axis over ``data``."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Replicate a parameter pytree across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), params
+    )
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place a pytree of batched arrays with the leading axis over ``data``."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )

@@ -181,13 +181,14 @@ def make_sampling_fns(
         def controlnet_residuals(latents, t, emb_pair):
             if controlnet_apply is None:
                 return (None, None), (None, None)
-            # batch-2 controlnet forward, residuals split per CFG half
+            # batched CFG-pair controlnet forward, residuals split per half
             # (reference :190-208)
+            b = latents.shape[0]
             lat2 = jnp.concatenate([latents, latents], axis=0)
             down, mid = controlnet_apply(cn_params, lat2, t, emb_pair, cn_cond)
-            down_u = tuple(d[:1] for d in down)
-            down_c = tuple(d[1:] for d in down)
-            return (down_u, mid[:1]), (down_c, mid[1:])
+            down_u = tuple(d[:b] for d in down)
+            down_c = tuple(d[b:] for d in down)
+            return (down_u, mid[:b]), (down_c, mid[b:])
 
         emb_pair = jnp.concatenate([uncond_emb, cond_emb], axis=0)
 
@@ -222,6 +223,7 @@ def make_sampling_fns(
                     jnp.concatenate([u, c], axis=0) for u, c in zip(cn_u[0], cn_c[0])
                 )
                 mid_res = jnp.concatenate([cn_u[1], cn_c[1]], axis=0)
+            b = latents.shape[0]
             lat2 = jnp.concatenate([latents, latents], axis=0)
             pred2, _ = plain_unet.apply(
                 params,
@@ -231,7 +233,7 @@ def make_sampling_fns(
                 down_block_residuals=down_res,
                 mid_block_residual=mid_res,
             )
-            uncond_pred, cond_pred = pred2[:1], pred2[1:]
+            uncond_pred, cond_pred = pred2[:b], pred2[b:]
             noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
             new_latents = ddim_step(ddim, noise_pred, t, tp, latents)
             return new_latents, jnp.zeros(())

@@ -1,0 +1,209 @@
+"""End-to-end runtime: checkpoints -> prompts -> motion rep -> mp4.
+
+The user-facing orchestration mirroring the reference drivers
+(t2v_video_sample.py:14-105, i2v_video_sample.py): model loading, prompt
+encoding, per-example extraction + sampling, reference-compatible output
+naming.  All accelerator compute is delegated to the jitted functions of
+:class:`~motionclone_tpu.pipeline.motionclone.MotionClonePipeline` plus
+jitted VAE/CLIP calls here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionclone_tpu.config import (
+    Example,
+    InferenceConfig,
+    load_model_config,
+)
+from motionclone_tpu.diffusion.guidance import (
+    load_motion_representation,
+    save_motion_representation,
+)
+from motionclone_tpu.io.video import preprocess_video, write_video
+from motionclone_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from motionclone_tpu.models.unet3d import UNet3DConditionModel
+from motionclone_tpu.models.vae import AutoencoderKL, VAEConfig, sample_latents
+from motionclone_tpu.pipeline.motionclone import MotionClonePipeline
+from motionclone_tpu.weights.load import (
+    assemble_pipeline_state_dicts,
+    clip_params_from_state_dict,
+    unet_params_from_state_dict,
+    vae_params_from_state_dict,
+)
+
+VAE_SCALING = 0.18215  # vae.config.scaling_factor (motionclone_functions.py:32)
+
+
+class MotionCloneRuntime:
+    """Loaded weights + jitted compute for one workload config."""
+
+    def __init__(
+        self,
+        pretrained_model_path: str,
+        infer_cfg: InferenceConfig,
+        *,
+        dtype: jnp.dtype = jnp.bfloat16,
+        attention_impl: str = "auto",
+        config_root: str = ".",
+    ):
+        self.infer_cfg = infer_cfg
+        self.dtype = dtype
+
+        model_config_path = os.path.join(config_root, infer_cfg.model_config)
+        self.unet_cfg, self.sched_cfg = load_model_config(model_config_path)
+        self.vae_cfg = VAEConfig()
+        self.clip_cfg = CLIPTextConfig()
+
+        def j(p):
+            return os.path.join(config_root, p) if p else ""
+
+        sds = assemble_pipeline_state_dicts(
+            pretrained_model_path,
+            motion_module_path=j(infer_cfg.motion_module),
+            dreambooth_path=j(infer_cfg.dreambooth_path),
+            adapter_lora_path=j(infer_cfg.adapter_lora_path),
+            adapter_lora_scale=infer_cfg.adapter_lora_scale,
+        )
+        np_dtype = np.dtype(jnp.dtype(dtype).name) if dtype != jnp.float32 else None
+        unet_params = unet_params_from_state_dict(
+            sds["unet"], self.unet_cfg, dtype=np_dtype
+        )
+        self.vae_params = vae_params_from_state_dict(
+            sds["vae"], self.vae_cfg, dtype=np_dtype
+        )
+        self.clip_params = clip_params_from_state_dict(
+            sds["text_encoder"], self.clip_cfg, dtype=np_dtype
+        )
+
+        from transformers import CLIPTokenizer
+
+        self.tokenizer = CLIPTokenizer.from_pretrained(
+            pretrained_model_path, subfolder="tokenizer"
+        )
+
+        self.vae = AutoencoderKL(cfg=self.vae_cfg, dtype=dtype)
+        self.clip = CLIPTextModel(cfg=self.clip_cfg, dtype=dtype)
+        self.pipeline = MotionClonePipeline(
+            self.unet_cfg,
+            self.sched_cfg,
+            infer_cfg,
+            unet_params,
+            dtype=dtype,
+            attention_impl=attention_impl,
+        )
+
+        self._vae_encode = jax.jit(
+            lambda p, x: self.vae.apply(p, x, method=self.vae.encode)
+        )
+        self._vae_decode = jax.jit(
+            lambda p, z: self.vae.apply(p, z, method=self.vae.decode)
+        )
+        self._clip_apply = jax.jit(lambda p, ids: self.clip.apply(p, ids))
+
+    # ------------------------------------------------------------------
+    # text
+    # ------------------------------------------------------------------
+
+    def _tokenize(self, text: str) -> jnp.ndarray:
+        ids = self.tokenizer(
+            text,
+            padding="max_length",
+            max_length=self.tokenizer.model_max_length,
+            truncation=True,
+            return_tensors="np",
+        ).input_ids
+        return jnp.asarray(ids, dtype=jnp.int32)
+
+    def encode_prompt(
+        self, prompt: str, negative_prompt: str = ""
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(uncond, cond) CLIP embeddings, each (1, 77, 768)
+        (pipeline_animation.py:160-247)."""
+        cond = self._clip_apply(self.clip_params, self._tokenize(prompt))
+        uncond = self._clip_apply(self.clip_params, self._tokenize(negative_prompt))
+        return uncond, cond
+
+    # ------------------------------------------------------------------
+    # latents
+    # ------------------------------------------------------------------
+
+    def encode_video(self, video: np.ndarray, seed: int) -> jnp.ndarray:
+        """Pixels (F, H, W, 3) in [-1,1] -> scaled latents (1, F, h, w, 4)
+        with a sampled posterior draw (motionclone_functions.py:31-33)."""
+        x = jnp.asarray(video, dtype=self.dtype)[None]
+        mean, logvar = self._vae_encode(self.vae_params, x)
+        z = sample_latents(mean, logvar, jax.random.PRNGKey(seed))
+        return z * VAE_SCALING
+
+    def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
+        """Latents -> uint8 RGB frames (F, H, W, 3)
+        (pipeline_animation.py:249-263, whole clip in one call)."""
+        z = latents.astype(self.dtype) / VAE_SCALING
+        video = self._vae_decode(self.vae_params, z)
+        video = np.asarray(video.astype(jnp.float32))
+        video = np.clip(video / 2 + 0.5, 0.0, 1.0)
+        return (video[0] * 255).round().astype(np.uint8)
+
+    # ------------------------------------------------------------------
+    # per-example flow (reference t2v_video_sample.py:75-105)
+    # ------------------------------------------------------------------
+
+    def run_example(
+        self,
+        example: Example,
+        *,
+        motion_rep_dir: str,
+        output_dir: str,
+        default_seed: int = 2025,
+        config_root: str = ".",
+    ) -> str:
+        cfg = self.infer_cfg
+        os.makedirs(motion_rep_dir, exist_ok=True)
+        os.makedirs(output_dir, exist_ok=True)
+
+        seed_motion = example.seed if example.seed is not None else default_seed
+        video_path = os.path.join(config_root, example.video_path)
+        stem = os.path.splitext(os.path.basename(example.video_path))[0]
+        rep_path = os.path.join(motion_rep_dir, stem + ".npz")
+
+        new_prompt = example.new_prompt + cfg.positive_prompt
+
+        # 1. motion representation (cached on disk, reference :87-90)
+        if not os.path.exists(rep_path):
+            video = preprocess_video(
+                video_path, cfg.height, cfg.width, cfg.video_length
+            )
+            video_latents = self.encode_video(video, seed_motion)
+            uncond_emb, _ = self.encode_prompt("", "")
+            rep = self.pipeline.extract_motion_representation(
+                video_latents, uncond_emb, seed=seed_motion
+            )
+            save_motion_representation(rep_path, rep)
+        rep = load_motion_representation(rep_path)
+
+        # 2. guided sampling
+        seed = seed_motion  # reference: seed = seed_motion (:93)
+        uncond_emb, cond_emb = self.encode_prompt(new_prompt, cfg.negative_prompt)
+        latents = self.pipeline.sample_latents(uncond_emb, cond_emb, rep, seed=seed)
+        frames = self.decode_latents(latents)
+
+        # 3. write with the reference's naming (:100-101)
+        out_name = (
+            stem
+            + "_"
+            + new_prompt.strip().replace(" ", "_")
+            + str(seed_motion)
+            + "_"
+            + str(seed)
+            + ".mp4"
+        )
+        out_path = os.path.join(output_dir, out_name)
+        write_video(out_path, frames, fps=8)
+        return out_path
