@@ -58,6 +58,27 @@ def guidance_cut_index(guidance_blocks: Tuple[str, ...]) -> int:
     return int(guidance_blocks[-1].rsplit(".", 1)[-1])
 
 
+def make_controlnet_apply(model):
+    """Adapt a SparseControlNetModel to the pipeline's controlnet hook.
+
+    ``cn_cond`` is ``(cond, mask, scale)``: the frame-scattered condition
+    tensor, its mask (see models.sparse_controlnet.scatter_condition), and
+    the conditioning scale.  The condition batch broadcasts over the CFG
+    pair exactly as the reference's batch-1 cond vs batch-2 latents
+    (motionclone_functions.py:190-197).
+    """
+
+    def apply(cn_params, latents, t, text_emb, cn_cond):
+        cond, mask, scale = cn_cond
+        if latents.shape[0] == 2 * cond.shape[0]:
+            # CFG pair: tile the condition over both halves
+            cond = jnp.concatenate([cond, cond], axis=0)
+            mask = jnp.concatenate([mask, mask], axis=0)
+        return model.apply(cn_params, latents, t, text_emb, cond, mask, scale)
+
+    return apply
+
+
 @dataclasses.dataclass(frozen=True)
 class SamplingFns:
     """Jitted entry points over (params, arrays) — all pure."""
@@ -120,13 +141,21 @@ def make_sampling_fns(
     # extraction (reference motionclone_functions.py:26-82)
     # ------------------------------------------------------------------
 
-    def _extract(params, video_latents, noise, uncond_emb, cn=None):
+    def _extract(params, video_latents, noise, uncond_emb, cn_params=None,
+                 cn_cond=None):
         noisy = add_noise(ddim, infer_cfg.add_noise_step, video_latents, noise)
-        down_res, mid_res = (None, None) if cn is None else cn
+        t = jnp.asarray(infer_cfg.add_noise_step)
+        down_res, mid_res = None, None
+        if controlnet_apply is not None and cn_cond is not None:
+            # i2v extraction runs the controlnet on the noisy reference
+            # latents with the uncond embedding (reference :46-72)
+            down_res, mid_res = controlnet_apply(
+                cn_params, noisy, t, uncond_emb, cn_cond
+            )
         _, probs = guided_unet.apply(
             params,
             noisy,
-            jnp.asarray(infer_cfg.add_noise_step),
+            t,
             uncond_emb,
             down_block_residuals=down_res,
             mid_block_residual=mid_res,
@@ -293,14 +322,14 @@ class MotionClonePipeline:
 
     def extract_motion_representation(
         self, video_latents: jnp.ndarray, uncond_emb: jnp.ndarray, seed: int,
-        cn=None,
+        cn_cond=None,
     ) -> MotionRep:
         """One truncated forward -> sparse motion rep (reference :26-82)."""
         key = jax.random.PRNGKey(seed)
         noise = jax.random.normal(key, video_latents.shape, dtype=jnp.float32)
         rep = self.fns.extract(
             self.params, video_latents, noise.astype(video_latents.dtype),
-            uncond_emb, cn,
+            uncond_emb, self.cn_params, cn_cond,
         )
         return jax.tree_util.tree_map(np.asarray, rep)
 

@@ -26,7 +26,12 @@ from motionclone_tpu.diffusion.guidance import (
     load_motion_representation,
     save_motion_representation,
 )
-from motionclone_tpu.io.video import preprocess_video, write_video
+from motionclone_tpu.io.video import (
+    load_condition_images,
+    preprocess_video,
+    write_video,
+)
+from motionclone_tpu.models.sparse_controlnet import scatter_condition
 from motionclone_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
 from motionclone_tpu.models.unet3d import UNet3DConditionModel
 from motionclone_tpu.models.vae import AutoencoderKL, VAEConfig, sample_latents
@@ -90,6 +95,34 @@ class MotionCloneRuntime:
 
         self.vae = AutoencoderKL(cfg=self.vae_cfg, dtype=dtype)
         self.clip = CLIPTextModel(cfg=self.clip_cfg, dtype=dtype)
+
+        # i2v: SparseControlNet (reference i2v_video_sample.py:41-59)
+        controlnet_apply = None
+        cn_params = None
+        self.cn_cfg = None
+        if infer_cfg.controlnet_path:
+            from motionclone_tpu.config import load_yaml
+            from motionclone_tpu.models.sparse_controlnet import (
+                SparseControlNetConfig,
+                SparseControlNetModel,
+            )
+            from motionclone_tpu.pipeline.motionclone import make_controlnet_apply
+            from motionclone_tpu.weights.io import load_state_dict
+            from motionclone_tpu.weights.load import (
+                controlnet_params_from_state_dict,
+            )
+
+            cn_yaml = load_yaml(j(infer_cfg.controlnet_config))
+            self.cn_cfg = SparseControlNetConfig.from_yaml_dict(
+                cn_yaml.get("controlnet_additional_kwargs", {}), self.unet_cfg
+            )
+            cn_sd = load_state_dict(j(infer_cfg.controlnet_path))
+            cn_params = controlnet_params_from_state_dict(
+                cn_sd, self.cn_cfg, dtype=np_dtype
+            )
+            cn_model = SparseControlNetModel(cfg=self.cn_cfg, dtype=dtype)
+            controlnet_apply = make_controlnet_apply(cn_model)
+
         self.pipeline = MotionClonePipeline(
             self.unet_cfg,
             self.sched_cfg,
@@ -97,6 +130,8 @@ class MotionCloneRuntime:
             unet_params,
             dtype=dtype,
             attention_impl=attention_impl,
+            controlnet_apply=controlnet_apply,
+            cn_params=cn_params,
         )
 
         self._vae_encode = jax.jit(
@@ -174,6 +209,12 @@ class MotionCloneRuntime:
         rep_path = os.path.join(motion_rep_dir, stem + ".npz")
 
         new_prompt = example.new_prompt + cfg.positive_prompt
+        use_controlnet = self.cn_cfg is not None
+        controlnet_scale = (
+            example.controlnet_scale
+            if example.controlnet_scale is not None
+            else cfg.controlnet_scale
+        )
 
         # 1. motion representation (cached on disk, reference :87-90)
         if not os.path.exists(rep_path):
@@ -182,8 +223,22 @@ class MotionCloneRuntime:
             )
             video_latents = self.encode_video(video, seed_motion)
             uncond_emb, _ = self.encode_prompt("", "")
+            cn_cond = None
+            if use_controlnet:
+                # extraction conditions come from the reference video itself
+                # (motionclone_functions.py:46-63)
+                idx = list(example.image_index)
+                if self.cn_cfg.use_simplified_condition_embedding:
+                    frames_cond = video_latents[:, idx]
+                else:
+                    pixels01 = (jnp.asarray(video)[None] + 1.0) / 2.0
+                    frames_cond = pixels01[:, idx].astype(self.dtype)
+                cond_t, mask_t = scatter_condition(
+                    frames_cond, tuple(idx), cfg.video_length
+                )
+                cn_cond = (cond_t, mask_t, controlnet_scale)
             rep = self.pipeline.extract_motion_representation(
-                video_latents, uncond_emb, seed=seed_motion
+                video_latents, uncond_emb, seed=seed_motion, cn_cond=cn_cond
             )
             save_motion_representation(rep_path, rep)
         rep = load_motion_representation(rep_path)
@@ -191,7 +246,26 @@ class MotionCloneRuntime:
         # 2. guided sampling
         seed = seed_motion  # reference: seed = seed_motion (:93)
         uncond_emb, cond_emb = self.encode_prompt(new_prompt, cfg.negative_prompt)
-        latents = self.pipeline.sample_latents(uncond_emb, cond_emb, rep, seed=seed)
+        cn_cond = None
+        if use_controlnet:
+            # sampling conditions come from the example's condition images
+            # (motionclone_functions.py:111-128)
+            paths = [os.path.join(config_root, p) for p in example.condition_image_paths]
+            imgs01 = load_condition_images(paths, cfg.height, cfg.width)
+            if self.cn_cfg.use_simplified_condition_embedding:
+                x = jnp.asarray(imgs01 * 2.0 - 1.0, dtype=self.dtype)[None]
+                mean, logvar = self._vae_encode(self.vae_params, x)
+                z = sample_latents(mean, logvar, jax.random.PRNGKey(seed))
+                frames_cond = z * VAE_SCALING
+            else:
+                frames_cond = jnp.asarray(imgs01, dtype=self.dtype)[None]
+            cond_t, mask_t = scatter_condition(
+                frames_cond, tuple(example.image_index), cfg.video_length
+            )
+            cn_cond = (cond_t, mask_t, controlnet_scale)
+        latents = self.pipeline.sample_latents(
+            uncond_emb, cond_emb, rep, seed=seed, cn_cond=cn_cond
+        )
         frames = self.decode_latents(latents)
 
         # 3. write with the reference's naming (:100-101)

@@ -124,6 +124,37 @@ def clip_params_from_state_dict(
     return {"params": tree}
 
 
+def controlnet_params_from_state_dict(
+    sd: Mapping[str, np.ndarray],
+    cn_cfg,
+    *,
+    dtype: Optional[np.dtype] = None,
+    validate: bool = True,
+) -> Dict[str, Any]:
+    """SparseCtrl checkpoint -> flax tree (reference i2v_video_sample.py:54-59:
+    strict load with pos_encoder.pe and animatediff_config filtered)."""
+    from motionclone_tpu.models.sparse_controlnet import SparseControlNetModel
+
+    sd = {
+        k: v
+        for k, v in sd.items()
+        if "pos_encoder.pe" not in k and k != "animatediff_config"
+    }
+    tree = torch_to_flax(sd, dtype=dtype)
+    if validate:
+        model = SparseControlNetModel(cfg=cn_cfg)
+        sample = jnp.zeros((1, 2, 8, 8, cn_cfg.in_channels))
+        ctx = jnp.zeros((1, 77, cn_cfg.cross_attention_dim))
+        cond_hw = 8 if cn_cfg.use_simplified_condition_embedding else 8 * (
+            2 ** (len(cn_cfg.conditioning_embedding_out_channels) - 1)
+        )
+        cond = jnp.zeros((1, 2, cond_hw, cond_hw, cn_cfg.conditioning_channels))
+        mask = jnp.zeros((1, 2, cond_hw, cond_hw, 1))
+        ref = _shape_tree(model, sample, jnp.zeros((1,), jnp.int32), ctx, cond, mask)
+        validate_against({"params": tree}, ref)
+    return {"params": tree}
+
+
 # ---------------------------------------------------------------------------
 # directory-level assembly
 # ---------------------------------------------------------------------------

@@ -1,0 +1,185 @@
+"""SparseControlNet structural tests + i2v pipeline integration (tiny)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionclone_tpu.config import (
+    InferenceConfig,
+    MotionModuleConfig,
+    NoiseScheduleConfig,
+    tiny_unet_config,
+)
+from motionclone_tpu.models.sparse_controlnet import (
+    SparseControlNetConfig,
+    SparseControlNetModel,
+    scatter_condition,
+)
+from motionclone_tpu.models.unet3d import UNet3DConditionModel
+from motionclone_tpu.pipeline.motionclone import (
+    MotionClonePipeline,
+    make_controlnet_apply,
+)
+
+B, F, H, W = 1, 4, 16, 16
+
+
+def tiny_cn_config(simplified=True):
+    unet_cfg = tiny_unet_config()
+    return SparseControlNetConfig(
+        conditioning_channels=4 if simplified else 3,
+        use_simplified_condition_embedding=simplified,
+        set_noisy_sample_input_to_zero=True,
+        conditioning_embedding_out_channels=(4, 8),
+        block_out_channels=unet_cfg.block_out_channels,
+        layers_per_block=unet_cfg.layers_per_block,
+        norm_num_groups=unet_cfg.norm_num_groups,
+        cross_attention_dim=unet_cfg.cross_attention_dim,
+        num_heads=unet_cfg.attention_head_dim,
+        motion_module=MotionModuleConfig(
+            num_attention_heads=2,
+            attention_block_types=("Temporal_Self",),
+            temporal_position_encoding_max_len=32,
+            norm_num_groups=4,
+        ),
+    )
+
+
+def _init(cfg, cond_hw, cond_c):
+    model = SparseControlNetModel(cfg=cfg)
+    sample = jnp.zeros((B, F, H, W, 4))
+    ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    cond = jnp.zeros((B, F, cond_hw, cond_hw, cond_c))
+    mask = jnp.zeros((B, F, cond_hw, cond_hw, 1))
+    params = model.init(
+        jax.random.PRNGKey(0), sample, jnp.array([1]), ctx, cond, mask
+    )
+    return model, params
+
+
+def test_simplified_latent_conditioning_shapes():
+    cfg = tiny_cn_config(simplified=True)
+    model, params = _init(cfg, H, 4)
+    rng = np.random.default_rng(0)
+    sample = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(1, 77, cfg.cross_attention_dim)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    mask = jnp.ones((B, F, H, W, 1), jnp.float32)
+    down, mid = model.apply(params, sample, jnp.array([400]), ctx, cond, mask)
+    # 1 conv_in + layers_per_block(1)*4 blocks + 3 downsamplers = 8 heads
+    assert len(down) == 8
+    # residual spatial dims follow the UNet skip pyramid
+    assert down[0].shape == (B, F, H, W, cfg.block_out_channels[0])
+    assert mid.shape[-1] == cfg.block_out_channels[-1]
+    # zero-initialized output heads -> all residuals are exactly zero at init
+    for d in down:
+        assert np.all(np.asarray(d) == 0)
+    assert np.all(np.asarray(mid) == 0)
+
+
+def test_pixel_conditioning_downsamples():
+    cfg = tiny_cn_config(simplified=False)
+    # pixel-space condition at 2x latent res with a 2-block embedding stack
+    model, params = _init(cfg, H * 2, 3)
+    rng = np.random.default_rng(1)
+    sample = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(1, 77, cfg.cross_attention_dim)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(B, F, H * 2, W * 2, 3)), jnp.float32)
+    mask = jnp.ones((B, F, H * 2, W * 2, 1), jnp.float32)
+    down, mid = model.apply(params, sample, jnp.array([400]), ctx, cond, mask)
+    assert down[0].shape == (B, F, H, W, cfg.block_out_channels[0])
+
+
+def test_set_noisy_sample_input_to_zero_ignores_latents():
+    """With the flag, output must not depend on the latent sample
+    (sparse_controlnet.py:516-518)."""
+    cfg = tiny_cn_config(simplified=True)
+    model, params = _init(cfg, H, 4)
+    # perturb the zero-init heads so outputs are nonzero
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * np.random.default_rng(0).normal(size=x.shape).astype(
+            np.float32
+        ),
+        params,
+    )
+    rng = np.random.default_rng(2)
+    ctx = jnp.asarray(rng.normal(size=(1, 77, cfg.cross_attention_dim)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    mask = jnp.ones((B, F, H, W, 1), jnp.float32)
+    s1 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    s2 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    out1 = model.apply(params, s1, jnp.array([400]), ctx, cond, mask)
+    out2 = model.apply(params, s2, jnp.array([400]), ctx, cond, mask)
+    for a, b in zip(out1[0], out2[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
+
+
+def test_scatter_condition():
+    frames = jnp.ones((1, 2, 4, 4, 3))
+    cond, mask = scatter_condition(frames, (0, 3), video_length=5)
+    assert cond.shape == (1, 5, 4, 4, 3)
+    assert mask.shape == (1, 5, 4, 4, 1)
+    np.testing.assert_array_equal(np.asarray(cond[:, [0, 3]]), 1.0)
+    np.testing.assert_array_equal(np.asarray(cond[:, [1, 2, 4]]), 0.0)
+    np.testing.assert_array_equal(np.asarray(mask[:, [0, 3]]), 1.0)
+    np.testing.assert_array_equal(np.asarray(mask[:, [1, 2, 4]]), 0.0)
+
+
+def test_i2v_pipeline_end_to_end():
+    """Full guided sampling with controlnet residuals (tiny i2v)."""
+    unet_cfg = tiny_unet_config()
+    cn_cfg = tiny_cn_config(simplified=True)
+    infer_cfg = InferenceConfig(
+        inference_steps=4,
+        guidance_steps=2,
+        guidance_fraction=0.3,
+        warm_up_steps=1,
+        cool_up_steps=1,
+        motion_guidance_weight=50.0,
+        motion_guidance_blocks=("up_blocks.1",),
+        width=W * 8,
+        height=H * 8,
+        video_length=F,
+    )
+    sched_cfg = NoiseScheduleConfig()
+
+    unet = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
+    sample = jnp.zeros((B, F, H, W, 4))
+    ctx = jnp.zeros((B, 77, unet_cfg.cross_attention_dim))
+    unet_params = unet.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx)
+
+    cn_model = SparseControlNetModel(cfg=cn_cfg)
+    cond0 = jnp.zeros((B, F, H, W, 4))
+    mask0 = jnp.zeros((B, F, H, W, 1))
+    cn_params = cn_model.init(
+        jax.random.PRNGKey(1), sample, jnp.array([1]), ctx, cond0, mask0
+    )
+
+    pipe = MotionClonePipeline(
+        unet_cfg,
+        sched_cfg,
+        infer_cfg,
+        unet_params,
+        dtype=jnp.float32,
+        controlnet_apply=make_controlnet_apply(cn_model),
+        cn_params=cn_params,
+    )
+
+    rng = np.random.default_rng(0)
+    video_latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    uncond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    cond_emb = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+
+    frames = jnp.asarray(rng.normal(size=(B, 1, H, W, 4)), jnp.float32)
+    cn_cond_t, cn_mask = scatter_condition(frames, (0,), F)
+    cn_cond = (cn_cond_t, cn_mask, 1.0)
+
+    rep = pipe.extract_motion_representation(
+        video_latents, uncond, seed=42, cn_cond=cn_cond
+    )
+    assert len(rep) == 4  # main UNet: 2 motion modules x 2 attention blocks
+    out = pipe.sample_latents(uncond, cond_emb, rep, seed=7, cn_cond=cn_cond)
+    assert out.shape == (B, F, H, W, 4)
+    assert np.isfinite(np.asarray(out)).all()
