@@ -93,6 +93,14 @@ def preprocess_video(
         total = min(int(fps * duration), total)
     idx = sample_indices(total, video_length)
     picked = frames[idx]
+
+    from motionclone_tpu.io import hostops
+
+    native = hostops.resize_normalize_u8(
+        picked, height, width, scale=1.0 / 127.5, shift=-1.0
+    )
+    if native is not None:
+        return native
     resized = resize_bilinear_align_corners(picked, height, width)
     return (resized / np.float32(127.5) - np.float32(1.0)).astype(np.float32)
 

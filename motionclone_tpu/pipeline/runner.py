@@ -180,11 +180,13 @@ class MotionCloneRuntime:
     def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
         """Latents -> uint8 RGB frames (F, H, W, 3)
         (pipeline_animation.py:249-263, whole clip in one call)."""
+        from motionclone_tpu.io import hostops
+
         z = latents.astype(self.dtype) / VAE_SCALING
         video = self._vae_decode(self.vae_params, z)
         video = np.asarray(video.astype(jnp.float32))
-        video = np.clip(video / 2 + 0.5, 0.0, 1.0)
-        return (video[0] * 255).round().astype(np.uint8)
+        video01 = np.clip(video / 2 + 0.5, 0.0, 1.0)
+        return hostops.to_uint8(video01[0])
 
     # ------------------------------------------------------------------
     # per-example flow (reference t2v_video_sample.py:75-105)
