@@ -5,11 +5,12 @@ motionclone_functions.py:26-257 ``obtain_motion_representation`` /
 ``sample_video`` / ``single_step_video``), restructured for XLA:
 
 * extraction is one jitted truncated UNet forward + top-1 sparsification;
-* sampling is two consecutive ``lax.scan`` phases under one ``jit`` —
-  a guided phase whose body is ``jax.value_and_grad`` through the UNet
-  (replacing torch.autograd.grad, reference :236) and a vanilla batch-2
-  CFG phase — with per-step timesteps/ramps as scan inputs so the uneven
-  schedule costs nothing;
+* sampling is two ``lax.scan`` phases — a guided phase whose body is
+  ``jax.value_and_grad`` through the UNet (replacing torch.autograd.grad,
+  reference :236) and a vanilla batch-2 CFG phase — with per-step
+  timesteps/ramps as scan inputs so the uneven schedule costs nothing;
+  each phase executes as a few fixed-size jitted chunks (device dispatches
+  stay seconds-long, the compiled scan body is reused across chunks);
 * CFG keeps the reference's nonstandard base:
   ``cond + s*(cond - uncond)`` (reference :239,:255 — SURVEY §8 preserve).
 
@@ -196,14 +197,13 @@ def make_sampling_fns(
 
     grad_fn = jax.value_and_grad(_unet_loss, argnums=1, has_aux=True)
 
-    def _sample(
+    def _make_steps(
         params,
-        init_latents,
         uncond_emb,
         cond_emb,
         motion_rep: MotionRep,
-        cn_params=None,
-        cn_cond=None,
+        cn_params,
+        cn_cond,
     ):
         cfg_scale = infer_cfg.cfg_scale
 
@@ -267,14 +267,53 @@ def make_sampling_fns(
             new_latents = ddim_step(ddim, noise_pred, t, tp, latents)
             return new_latents, jnp.zeros(())
 
-        latents = init_latents  # init_noise_sigma == 1 for DDIM
-        latents, losses = jax.lax.scan(
-            guided_step, latents, (ts_guided, tp_guided, ramps_guided)
+        return guided_step, vanilla_step
+
+    def _guided_chunk(params, latents, uncond_emb, cond_emb, motion_rep,
+                      cn_params, cn_cond, xs):
+        guided_step, _ = _make_steps(
+            params, uncond_emb, cond_emb, motion_rep, cn_params, cn_cond
         )
-        latents, _ = jax.lax.scan(vanilla_step, latents, (ts_vanilla, tp_vanilla))
+        latents, _ = jax.lax.scan(guided_step, latents, xs)
         return latents
 
-    sample = jax.jit(_sample)
+    def _vanilla_chunk(params, latents, uncond_emb, cond_emb, motion_rep,
+                       cn_params, cn_cond, xs):
+        _, vanilla_step = _make_steps(
+            params, uncond_emb, cond_emb, motion_rep, cn_params, cn_cond
+        )
+        latents, _ = jax.lax.scan(vanilla_step, latents, xs)
+        return latents
+
+    guided_chunk = jax.jit(_guided_chunk)
+    vanilla_chunk = jax.jit(_vanilla_chunk)
+
+    # The full schedule runs as a handful of chunked dispatches instead of
+    # one monolithic 100-step scan: same math (the scan body is identical,
+    # chunk boundaries just split the xs), but each dispatch stays a few
+    # seconds long and the compiled bodies are reused across chunks.
+    def sample(params, init_latents, uncond_emb, cond_emb, motion_rep,
+               cn_params=None, cn_cond=None, chunk_steps: int = 10):
+        def chunks(arrays, length):
+            n = len(arrays[0])
+            lo = 0
+            while lo < n:
+                size = min(length, n - lo)
+                yield tuple(a[lo : lo + size] for a in arrays)
+                lo += size
+
+        latents = init_latents  # init_noise_sigma == 1 for DDIM
+        for xs in chunks((ts_guided, tp_guided, ramps_guided), chunk_steps):
+            latents = guided_chunk(
+                params, latents, uncond_emb, cond_emb, motion_rep,
+                cn_params, cn_cond, xs,
+            )
+        for xs in chunks((ts_vanilla, tp_vanilla), chunk_steps):
+            latents = vanilla_chunk(
+                params, latents, uncond_emb, cond_emb, motion_rep,
+                cn_params, cn_cond, xs,
+            )
+        return latents
 
     return SamplingFns(extract=extract, sample=sample, timesteps=timesteps, ddim=ddim)
 
