@@ -1,0 +1,103 @@
+"""Data-parallel correctness: batched sharded sampling must reproduce
+per-example results (8 virtual CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionclone_tpu.config import (
+    Example,
+    InferenceConfig,
+    NoiseScheduleConfig,
+    tiny_unet_config,
+)
+from motionclone_tpu.models.unet3d import UNet3DConditionModel
+from motionclone_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    shard_batch,
+    shard_params,
+)
+from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+from motionclone_tpu.pipeline.sweep import batch_examples
+
+B, F, H, W = 4, 4, 8, 8  # batch of 4 examples over a 4-device mesh
+
+
+def test_batch_examples_padding():
+    exs = [Example(video_path=f"v{i}.mp4", new_prompt="p") for i in range(5)]
+    batches = batch_examples(exs, 4)
+    assert len(batches) == 2
+    assert len(batches[0][0]) == 4 and batches[0][1] == 4
+    assert len(batches[1][0]) == 4 and batches[1][1] == 1
+    assert batches[1][0][1].video_path == "v4.mp4"  # padded by repetition
+
+
+def test_sharded_batch_matches_per_example():
+    unet_cfg = tiny_unet_config()
+    sched_cfg = NoiseScheduleConfig()
+    infer_cfg = InferenceConfig(
+        inference_steps=3,
+        guidance_steps=2,
+        guidance_fraction=0.3,
+        warm_up_steps=1,
+        cool_up_steps=1,
+        motion_guidance_weight=50.0,
+        motion_guidance_blocks=("up_blocks.1",),
+        width=W * 8,
+        height=H * 8,
+        video_length=F,
+    )
+    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
+    sample0 = jnp.zeros((1, F, H, W, 4))
+    ctx0 = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    )
+
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    uncond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    s_hw = (H // 4) * (W // 4)
+    heads = unet_cfg.motion_module.num_attention_heads
+    rep = {}
+    for m in range(2):
+        for a in range(2):
+            name = (
+                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
+                f".transformer_blocks.0.attention_blocks.{a}"
+            )
+            rep[name] = (
+                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, heads, F, 1)), jnp.float32),
+                jnp.asarray(rng.integers(0, F, size=(B, s_hw, heads, F, 1)), np.uint8),
+            )
+
+    # per-example (unsharded, batch 1)
+    singles = []
+    for i in range(B):
+        rep_i = {k: (v[i : i + 1], idx[i : i + 1]) for k, (v, idx) in rep.items()}
+        out_i = fns.sample(
+            params, latents[i : i + 1], uncond[i : i + 1], cond[i : i + 1],
+            rep_i, None, None,
+        )
+        singles.append(np.asarray(out_i))
+    singles = np.concatenate(singles, axis=0)
+
+    # batched + sharded over a 4-device data mesh
+    mesh = make_mesh(4)
+    p = shard_params(params, mesh)
+    with mesh:
+        out = fns.sample(
+            p,
+            shard_batch(latents, mesh),
+            shard_batch(uncond, mesh),
+            shard_batch(cond, mesh),
+            jax.tree_util.tree_map(lambda a: shard_batch(a, mesh), rep),
+            None,
+            None,
+        )
+        out.block_until_ready()
+    assert out.sharding.is_equivalent_to(batch_sharding(mesh), out.ndim)
+    np.testing.assert_allclose(np.asarray(out), singles, atol=2e-4, rtol=1e-3)
