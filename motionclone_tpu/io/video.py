@@ -9,6 +9,7 @@ This is deliberately off-accelerator in both designs (SURVEY §2.4).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import cv2
@@ -135,3 +136,34 @@ def write_video(path: str, frames: np.ndarray, fps: int = 8) -> None:
     for frame in frames:
         writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
     writer.release()
+
+
+def write_video_grid(
+    path: str, videos: np.ndarray, n_rows: int = 6, fps: int = 8
+) -> None:
+    """Tile a batch of videos into one grid clip and encode it.
+
+    Parity with the reference's ``save_videos_grid`` (util.py:87-99), which
+    lays ``(B, F, H, W, 3)`` out as an ``n_rows``-per-row image grid per
+    frame.  Accepts uint8 or float in [0, 1].
+    """
+    if videos.ndim != 5:
+        raise ValueError(f"expected (B, F, H, W, 3), got {videos.shape}")
+    if videos.dtype != np.uint8:
+        videos = (np.clip(videos, 0.0, 1.0) * 255).astype(np.uint8)
+    b, f, h, w, c = videos.shape
+    cols = min(n_rows, b)
+    rows = -(-b // cols)
+    pad = rows * cols - b
+    if pad:
+        videos = np.concatenate(
+            [videos, np.zeros((pad, f, h, w, c), np.uint8)], axis=0
+        )
+    # (rows*cols, F, H, W, 3) -> (F, rows*H, cols*W, 3)
+    grid = (
+        videos.reshape(rows, cols, f, h, w, c)
+        .transpose(2, 0, 3, 1, 4, 5)
+        .reshape(f, rows * h, cols * w, c)
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_video(path, grid, fps=fps)

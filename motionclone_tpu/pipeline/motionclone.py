@@ -86,6 +86,7 @@ class SamplingFns:
 
     extract: Callable[..., MotionRep]
     sample: Callable[..., jnp.ndarray]
+    sample_plain: Callable[..., jnp.ndarray]
     timesteps: np.ndarray
     ddim: DDIMParams
 
@@ -315,7 +316,40 @@ def make_sampling_fns(
             )
         return latents
 
-    return SamplingFns(extract=extract, sample=sample, timesteps=timesteps, ddim=ddim)
+    # plain AnimateDiff generation without motion guidance — the reference's
+    # legacy ``AnimationPipeline.__call__`` (pipeline_animation.py:326-497):
+    # standard diffusers "leading" DDIM spacing, every step a vanilla CFG
+    # step, optional controlnet residuals.
+    ts_plain = build_timesteps(
+        infer_cfg.inference_steps,
+        sched_cfg.num_train_timesteps,
+        steps_offset=sched_cfg.steps_offset,
+        spacing="leading",
+    )
+    tp_plain = prev_timesteps(ts_plain)
+    ts_plain_j = jnp.asarray(ts_plain)
+    tp_plain_j = jnp.asarray(tp_plain)
+
+    def sample_plain(params, init_latents, uncond_emb, cond_emb,
+                     cn_params=None, cn_cond=None, chunk_steps: int = 10):
+        latents = init_latents
+        no_rep: MotionRep = {}
+        n = len(ts_plain_j)
+        lo = 0
+        while lo < n:
+            size = min(chunk_steps, n - lo)
+            xs = (ts_plain_j[lo : lo + size], tp_plain_j[lo : lo + size])
+            latents = vanilla_chunk(
+                params, latents, uncond_emb, cond_emb, no_rep,
+                cn_params, cn_cond, xs,
+            )
+            lo += size
+        return latents
+
+    return SamplingFns(
+        extract=extract, sample=sample, sample_plain=sample_plain,
+        timesteps=timesteps, ddim=ddim,
+    )
 
 
 class MotionClonePipeline:
@@ -394,4 +428,28 @@ class MotionClonePipeline:
         return self.fns.sample(
             self.params, latents, uncond_emb, cond_emb, motion_rep,
             self.cn_params, cn_cond,
+        )
+
+    def sample_latents_plain(
+        self,
+        uncond_emb: jnp.ndarray,
+        cond_emb: jnp.ndarray,
+        seed: int,
+        cn_cond=None,
+    ) -> jnp.ndarray:
+        """Plain AnimateDiff generation, no motion guidance — parity with the
+        reference's legacy ``AnimationPipeline.__call__``
+        (pipeline_animation.py:326-497)."""
+        cfg = self.infer_cfg
+        shape = (
+            1,
+            cfg.video_length,
+            cfg.height // 8,
+            cfg.width // 8,
+            self.unet_cfg.in_channels,
+        )
+        key = jax.random.PRNGKey(seed)
+        latents = jax.random.normal(key, shape, dtype=jnp.float32).astype(self.dtype)
+        return self.fns.sample_plain(
+            self.params, latents, uncond_emb, cond_emb, self.cn_params, cn_cond
         )

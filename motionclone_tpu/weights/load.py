@@ -19,7 +19,7 @@ accelerator until the final device put.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,7 @@ from motionclone_tpu.weights.ldm import (
     convert_ldm_unet,
     convert_ldm_vae,
 )
-from motionclone_tpu.weights.lora import merge_diffusers_lora
+from motionclone_tpu.weights.lora import merge_diffusers_lora, merge_kohya_lora
 
 StateDict = Dict[str, np.ndarray]
 
@@ -181,13 +181,20 @@ def assemble_pipeline_state_dicts(
     dreambooth_path: str = "",
     adapter_lora_path: str = "",
     adapter_lora_scale: float = 1.0,
+    lora_model_path: str = "",
+    lora_alpha: float = 0.8,
+    motion_lora_configs: Sequence[Tuple[str, float]] = (),
 ) -> Dict[str, StateDict]:
     """Produce final flat state dicts for unet/vae/text_encoder.
 
     The UNet dict includes merged motion-module weights; DreamBooth
     checkpoints override base SD weights exactly as the reference does
     (util.py:142-168: VAE and CLIP fully replaced, UNet image layers
-    replaced with motion modules retained).
+    replaced with motion modules retained).  Optional merges mirror the
+    rest of the reference's ``load_weights`` (util.py:115-215): a kohya
+    image LoRA applied to UNet + text encoder (``lora_model_path``,
+    :185-194) and any number of motion LoRAs (``motion_lora_configs``,
+    list of (path, alpha), :205-213).
     """
     sd_unet = load_diffusers_module_sd(pretrained_dir, "unet")
     sd_vae = load_diffusers_module_sd(pretrained_dir, "vae")
@@ -209,8 +216,19 @@ def assemble_pipeline_state_dicts(
         mm = load_state_dict(motion_module_path)
         sd_unet = merge_state_dicts(sd_unet, mm, filter_substring="motion_modules.")
 
+    if lora_model_path:
+        lora = load_state_dict(lora_model_path)
+        sd_unet = merge_kohya_lora(sd_unet, lora, alpha=lora_alpha,
+                                   prefix="lora_unet")
+        sd_clip = merge_kohya_lora(sd_clip, lora, alpha=lora_alpha,
+                                   prefix="lora_te")
+
     if adapter_lora_path:
         lora = load_state_dict(adapter_lora_path)
         sd_unet = merge_diffusers_lora(sd_unet, lora, alpha=adapter_lora_scale)
+
+    for path, alpha in motion_lora_configs:
+        lora = load_state_dict(path)
+        sd_unet = merge_diffusers_lora(sd_unet, lora, alpha=alpha)
 
     return {"unet": sd_unet, "vae": sd_vae, "text_encoder": sd_clip}

@@ -19,6 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the tiny-model end-to-end tests are dominated by
+# XLA:CPU compile time; cache across runs so re-runs are seconds, not minutes.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -113,3 +113,27 @@ def test_guidance_actually_steers(pipeline):
     )
     out_plain = pipe0.sample_latents(uncond, cond, rep, seed=7)
     assert np.abs(np.asarray(out_guided) - np.asarray(out_plain)).max() > 1e-5
+
+
+def test_sample_plain_vanilla_path(pipeline):
+    """Plain AnimateDiff generation (legacy __call__ parity,
+    pipeline_animation.py:326-497): no motion rep, leading DDIM spacing."""
+    uncond, cond = _embs(pipeline.unet_cfg, seed=2)
+    out = pipeline.sample_latents_plain(uncond, cond, seed=11)
+    assert out.shape == (B, F, H, W, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic in the seed
+    out2 = pipeline.sample_latents_plain(uncond, cond, seed=11)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # plain path uses the full-range leading schedule, not the uneven one
+    from motionclone_tpu.diffusion.ddim import build_timesteps
+
+    ts = build_timesteps(
+        pipeline.infer_cfg.inference_steps,
+        pipeline.sched_cfg.num_train_timesteps,
+        steps_offset=pipeline.sched_cfg.steps_offset,
+        spacing="leading",
+    )
+    assert ts[0] != pipeline.fns.timesteps[0] or len(ts) == len(
+        pipeline.fns.timesteps
+    )

@@ -70,3 +70,18 @@ def test_write_roundtrip(tmp_path):
     decoded, fps = read_video_frames(path)
     assert decoded.shape == (4, 32, 32, 3)
     assert abs(fps - 8) < 0.5
+
+
+def test_write_video_grid(tmp_path):
+    """Grid writer tiles (B, F, H, W, 3) into one clip
+    (reference save_videos_grid, util.py:87-99)."""
+    from motionclone_tpu.io.video import read_video_frames, write_video_grid
+
+    rng = np.random.default_rng(0)
+    videos = rng.uniform(0, 1, size=(5, 4, 32, 48, 3)).astype(np.float32)
+    path = str(tmp_path / "grid.mp4")
+    write_video_grid(path, videos, n_rows=3, fps=8)
+    frames, fps = read_video_frames(path)
+    # 5 videos, 3 per row -> 2 rows x 3 cols
+    assert frames.shape == (4, 2 * 32, 3 * 48, 3)
+    assert fps == 8

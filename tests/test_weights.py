@@ -384,3 +384,82 @@ def test_diffusers_lora_merge():
     np.testing.assert_allclose(
         merged["up_blocks.1.attn.to_out.0.weight"], up @ down
     )
+
+
+def test_assemble_applies_image_and_motion_loras(tmp_path):
+    """assemble_pipeline_state_dicts mirrors the full load_weights surface
+    (reference util.py:115-215): kohya image LoRA on UNet + text encoder,
+    and per-config motion LoRAs on the UNet."""
+    from safetensors import numpy as st_numpy
+
+    from motionclone_tpu.weights.load import assemble_pipeline_state_dicts
+
+    for sub, sd in [
+        ("unet", {
+            "down_blocks.0.proj.weight": np.zeros((4, 4), np.float32),
+            "up_blocks.1.attn.to_q.weight": np.zeros((4, 4), np.float32),
+        }),
+        ("vae", {"decoder.conv.weight": np.ones((2,), np.float32)}),
+        ("text_encoder", {
+            "text_model.final_layer_norm.weight": np.zeros((4, 4), np.float32),
+        }),
+    ]:
+        d = tmp_path / sub
+        d.mkdir()
+        st_numpy.save_file(sd, str(d / "diffusion_pytorch_model.safetensors"))
+
+    up = np.ones((4, 2), np.float32)
+    down = np.ones((2, 4), np.float32)
+    st_numpy.save_file(
+        {
+            "lora_unet_down_blocks_0_proj.lora_up.weight": up,
+            "lora_unet_down_blocks_0_proj.lora_down.weight": down,
+            "lora_te_text_model_final_layer_norm.lora_up.weight": up,
+            "lora_te_text_model_final_layer_norm.lora_down.weight": down,
+        },
+        str(tmp_path / "image_lora.safetensors"),
+    )
+    st_numpy.save_file(
+        {
+            "up_blocks.1.attn.processor.to_q_lora.up.weight": up,
+            "up_blocks.1.attn.processor.to_q_lora.down.weight": down,
+        },
+        str(tmp_path / "motion_lora.safetensors"),
+    )
+
+    sds = assemble_pipeline_state_dicts(
+        str(tmp_path),
+        lora_model_path=str(tmp_path / "image_lora.safetensors"),
+        lora_alpha=0.5,
+        motion_lora_configs=[(str(tmp_path / "motion_lora.safetensors"), 2.0)],
+    )
+    np.testing.assert_allclose(
+        sds["unet"]["down_blocks.0.proj.weight"], 0.5 * (up @ down)
+    )
+    np.testing.assert_allclose(
+        sds["text_encoder"]["text_model.final_layer_norm.weight"],
+        0.5 * (up @ down),
+    )
+    np.testing.assert_allclose(
+        sds["unet"]["up_blocks.1.attn.to_q.weight"], 2.0 * (up @ down)
+    )
+
+
+def test_auto_download_gated(tmp_path, monkeypatch):
+    """auto_download is a no-op for existing files and wraps hub failures in
+    a helpful FileNotFoundError (reference util.py:101-113)."""
+    import huggingface_hub
+
+    from motionclone_tpu.weights.io import auto_download
+
+    p = tmp_path / "v3_sd15_mm.ckpt"
+    p.write_bytes(b"x")
+    auto_download(str(p))  # exists: no-op
+
+    def no_network(**kwargs):
+        raise OSError("offline")
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", no_network)
+    missing = tmp_path / "nope" / "v3_sd15_mm.ckpt"
+    with pytest.raises(FileNotFoundError, match="guoyww/animatediff"):
+        auto_download(str(missing))
