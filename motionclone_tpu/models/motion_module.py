@@ -28,6 +28,21 @@ from motionclone_tpu.models.layers import (
 )
 from motionclone_tpu.models.attention import FeedForward
 from motionclone_tpu.ops.attention import attention_probs, dot_product_attention
+from motionclone_tpu.ops.temporal_attention import (
+    supported as temporal_kernel_supported,
+    temporal_attention,
+)
+
+
+def _to_pixel_major(
+    x: jnp.ndarray, b: int, f: int, s: int, heads: int, dim_head: int
+) -> jnp.ndarray:
+    """(B, F, S, heads*D) -> (B*S, F, heads, D) for the probs/fallback paths."""
+    return (
+        x.reshape(b, f, s, heads, dim_head)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(b * s, f, heads, dim_head)
+    )
 
 
 class VersatileAttention(nn.Module):
@@ -57,35 +72,42 @@ class VersatileAttention(nn.Module):
         b, f, s, c = x.shape
         inner = self.heads * self.dim_head
 
-        # (B, F, S, C) -> (B*S, F, C): temporal sequences per pixel
-        h = x.transpose(0, 2, 1, 3).reshape(b * s, f, c)
-
+        # Stay in the natural (B, F, S, C) layout: the q/k/v projections
+        # contract only C, and the fused kernel consumes this layout
+        # directly, so no pixel-major transpose is ever materialized
+        # (the reference pays two full-tensor rearranges per block,
+        # motion_module.py:279,309).
+        h = x
         if self.use_pos_encoding:
             pe = temporal_positional_encoding(c, self.pos_encoding_max_len)[:f]
-            h = h + jnp.asarray(pe, dtype=h.dtype)[None]
+            h = h + jnp.asarray(pe, dtype=h.dtype)[None, :, None, :]
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(h)
-        q = q.reshape(b * s, f, self.heads, self.dim_head)
-        k = k.reshape(b * s, f, self.heads, self.dim_head)
-        v = v.reshape(b * s, f, self.heads, self.dim_head)
 
         scale = self.dim_head**-0.5
         probs = None
         if return_probs:
             # the f x f probability block *is* the motion feature
             # (motionclone_functions.py:260-283)
-            p = attention_probs(q, k, scale)  # (B*S, heads, F, F) f32
+            qp = _to_pixel_major(q, b, f, s, self.heads, self.dim_head)
+            kp = _to_pixel_major(k, b, f, s, self.heads, self.dim_head)
+            vp = _to_pixel_major(v, b, f, s, self.heads, self.dim_head)
+            p = attention_probs(qp, kp, scale)  # (B*S, heads, F, F) f32
             probs = p.reshape(b, s, self.heads, f, f)
-            out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+            out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(vp.dtype), vp)
+            out = out.reshape(b, s, f, inner).transpose(0, 2, 1, 3)
+        elif temporal_kernel_supported(f, s):
+            out = temporal_attention(q, k, v, heads=self.heads, scale=scale)
         else:
-            out = dot_product_attention(q, k, v, scale=scale, impl="xla")
+            qp = _to_pixel_major(q, b, f, s, self.heads, self.dim_head)
+            kp = _to_pixel_major(k, b, f, s, self.heads, self.dim_head)
+            vp = _to_pixel_major(v, b, f, s, self.heads, self.dim_head)
+            out = dot_product_attention(qp, kp, vp, scale=scale, impl="xla")
+            out = out.reshape(b, s, f, inner).transpose(0, 2, 1, 3)
 
-        out = out.reshape(b * s, f, inner)
         out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
-        # (B*S, F, C) -> (B, F, S, C)
-        out = out.reshape(b, s, f, c).transpose(0, 2, 1, 3)
         return out, probs
 
 

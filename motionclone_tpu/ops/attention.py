@@ -72,22 +72,42 @@ def dot_product_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    sq, sk = q.shape[1], k.shape[1]
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
 
     if impl == "auto":
-        if sq >= _LONG_SEQ and sk >= _LONG_SEQ:
-            impl = "flash" if _flash_supported(q) else "chunked"
-        else:
-            impl = "xla"
+        # Measured on v5e in-model (512^2, 16 frames): the fused einsum path
+        # beats the Pallas flash kernel at every spatial shape — head_dim 40
+        # lane-slicing costs the kernel more than XLA's relayouts cost the
+        # einsum — so "auto" is currently always the einsum.  The Pallas
+        # kernel stays selectable (impl="flash") and is the memory-bound
+        # fallback for sequences whose logits would not fit HBM.
+        impl = "xla"
+    elif impl == "grad-safe":
+        # For differentiated passes: XLA's attention backward materializes
+        # the full (B, H, S, S) probability tensor — 4.3 GB at S=4096 —
+        # which overflows HBM next to the other residuals.  Streaming flash
+        # only where that tensor is huge; einsum elsewhere.
+        impl = "flash" if sq >= 4096 else "xla"
 
     if impl == "xla":
         return _xla_attention(q, k, v, scale)
     if impl == "chunked":
         return _chunked_attention(q, k, v, scale, _CHUNK)
     if impl == "flash":
-        from motionclone_tpu.ops.flash_attention import flash_attention
+        from motionclone_tpu.ops.flash_attention import flash_attention, supported
 
-        return flash_attention(q, k, v, scale=scale)
+        if not supported((b, sq, h * d), (b, sk, h * d), h):
+            # graceful fallback for shapes the kernel cannot tile
+            return _xla_attention(q, k, v, scale)
+        out = flash_attention(
+            q.reshape(b, sq, h * d),
+            k.reshape(b, sk, h * d),
+            v.reshape(b, sk, h * d),
+            scale=scale,
+            heads=h,
+        )
+        return out.reshape(b, sq, h, d)
     raise ValueError(f"unknown attention impl: {impl}")
 
 
@@ -99,8 +119,12 @@ def _default_backend_is_tpu() -> bool:
         return False
 
 
-def _flash_supported(q: jnp.ndarray) -> bool:
-    return _default_backend_is_tpu() and q.shape[1] % 512 == 0
+def flash_available(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    """Whether impl="flash" would accept these (b, s, h, d) tensors."""
+    from motionclone_tpu.ops.flash_attention import supported
+
+    b, sq, h, d = q.shape
+    return supported((b, sq, h * d), (b, k.shape[1], h * d), h)
 
 
 def attention_probs(q: jnp.ndarray, k: jnp.ndarray, scale: Optional[float] = None) -> jnp.ndarray:

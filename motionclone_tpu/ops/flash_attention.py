@@ -1,24 +1,24 @@
-"""Pallas TPU flash attention (forward + backward), the spatial-attention
-hot path.
+"""Pallas TPU flash attention for the spatial (per-frame) attention path.
 
 Replaces xformers' ``memory_efficient_attention`` CUDA kernels (reference
-attention.py:535-542, SURVEY §2.4) with TPU-native kernels.  Shapes here are
-MotionClone's: long self-attention is the per-frame spatial attention at
-64x64 latents — seq 4096, head dim 40/80 — so keys/values for one
-(batch, head) fit comfortably in VMEM (<= 2 MB padded).  That permits a
-simplified flash scheme:
+attention.py:535-542, SURVEY §2.4) with TPU-native kernels, shaped for
+MotionClone's spatial self-attention: seq 4096 @ 64x64 latents with
+head_dim 40, seq 1024 @ 32x32 with head_dim 80.
 
-* forward: grid over (batch*heads, q-blocks); each program loads its q block
-  plus the full K/V, computes a BQ x S logit tile in f32, log-sum-exp
-  normalizes, and writes the output block and the LSE residual.  Peak VMEM
-  is the logit tile (BQ x S x 4 bytes), not O(S^2).
-* backward: two kernels — dq over q-blocks and dk/dv over kv-blocks — each
-  recomputing probabilities from (q, k, lse), the standard flash backward
-  with ``delta = rowsum(dout * out)``.
+Design notes, driven by v5e measurements:
 
-Head dims are zero-padded to the 128-lane width outside the kernels; the MXU
-pads to 128 lanes regardless, so this costs no extra compute, and zero
-columns change neither logits nor outputs.
+* XLA's einsum formulation relayouts q/k to a (B, H, D, S) layout first;
+  those transposes cost ~7 ms each at 64x64 — more than the attention math
+  itself.  These kernels therefore consume q/k/v in their **natural
+  (B, S, heads*D) layout** — the direct output of the to_q/to_k/to_v
+  projections — splitting heads by static lane slices inside the kernel.
+  No transposes, no pad-to-128 HBM copies.
+* Standard online-softmax streaming over key blocks (the flash scheme):
+  running (max, sum, acc) scratch per head keeps every VMEM buffer a few
+  hundred KB regardless of sequence length.
+* Backward recomputes probabilities from the saved row log-sum-exp: dq
+  streams over key blocks, dk/dv over query blocks, with f32 accumulators
+  in scratch.
 """
 
 from __future__ import annotations
@@ -31,17 +31,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
-DEFAULT_BQ = 256
-DEFAULT_BK = 512
+# Swept on v5e at 64x64/16f (see repo history): larger tiles amortize the
+# per-(cell, head) softmax/slice overhead; these are the fastest combos that
+# stay inside scoped VMEM with the f32 logit temporaries.
+DEFAULT_BQ = 512
+DEFAULT_BK = 1024
+DEFAULT_BWD_BQ = 256
+DEFAULT_BWD_BK = 512
+NEG_INF = -1e30
 
 
-def _pad_head_dim(x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
-    d = x.shape[-1]
-    pad = (-d) % LANE
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
-    return x, d
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _dot_nt(a, b):  # (M, D) x (N, D) -> (M, N), f32
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_tn(a, b):  # (M, N) x (M, D) -> (N, D), f32
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -49,52 +62,86 @@ def _pad_head_dim(x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)  # (S, D)
-    v = v_ref[0]  # (S, D)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, S)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    exp = jnp.exp(logits - m)
-    l = jnp.sum(exp, axis=-1, keepdims=True)
-    lse_ref[0] = m + jnp.log(l)
-    probs = (exp / l).astype(v.dtype)
-    o_ref[0] = jnp.dot(probs, v, preferred_element_type=jnp.float32).astype(
-        o_ref.dtype
-    )
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale: float, heads: int):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    hd = q_ref.shape[-1]
+    d = hd // heads
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = _dot_nt(q[:, sl], k[:, sl]) * scale  # (BQ, BK) f32
+        m_prev = m_scr[h]                        # (BQ,)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        l_scr[h] = l_scr[h] * corr + jnp.sum(p, axis=-1)
+        acc_scr[h] = acc_scr[h] * corr[:, None] + jnp.dot(
+            p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
+        )
+        m_scr[h] = m_new
+
+    @pl.when(j == nk - 1)
+    def _():
+        outs = [acc_scr[h] / l_scr[h][:, None] for h in range(heads)]
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[...] + jnp.log(l_scr[...])
 
 
 def _flash_fwd(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, block_q: int
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    heads: int, block_q: int, block_k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """q/k/v: (BH, S, D) padded to lane width. Returns (out, lse)."""
-    bh, sq, d = q.shape
+    """q: (B, SQ, H*D), k/v: (B, SK, H*D).  Returns (out, lse)."""
+    b, sq, hd = q.shape
     sk = k.shape[1]
+    d = hd // heads
     bq = min(block_q, sq)
-    grid = (bh, pl.cdiv(sq, bq))
+    bk = min(block_k, sk)
+    nq = pl.cdiv(sq, bq)
+    nk = pl.cdiv(sk, bk)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
-        grid=grid,
+        functools.partial(_fwd_kernel, scale=scale, heads=heads),
+        grid=(b, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hd), lambda bi, qi, ki: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd), lambda bi, qi, ki: (bi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd), lambda bi, qi, ki: (bi, ki, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hd), lambda bi, qi, ki: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, bq), lambda bi, qi, ki: (bi, 0, qi),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, heads, sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((heads, bq), jnp.float32),
+            pltpu.VMEM((heads, bq), jnp.float32),
+            pltpu.VMEM((heads, bq, d), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * sq * sk * d,
-            bytes_accessed=2 * bh * (sq + 2 * sk) * d * q.dtype.itemsize,
-            transcendentals=bh * sq * sk,
+            flops=4 * b * sq * sk * hd,
+            bytes_accessed=2 * b * (sq + 2 * sk) * hd * q.dtype.itemsize,
+            transcendentals=b * heads * sq * sk,
         ),
+        interpret=_interpret(),
     )(q, k, v)
     return out, lse
 
@@ -104,129 +151,129 @@ def _flash_fwd(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   acc_ref, *, scale: float):
-    """Accumulates dq over kv blocks: grid (BH, nq, nk), kv minor."""
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
+                   dq_scr, *, scale: float, heads: int):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
+    hd = q_ref.shape[-1]
+    d = hd // heads
 
     @pl.when(j == 0)
     def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(jnp.float32)      # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)      # (BK, D)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)    # (BQ, D)
-    lse = lse_ref[0]                      # (BQ, 1)
-    delta = delta_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                              # (BQ, BK)
-    p = jnp.exp(s - lse)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - delta) * scale
-    acc_ref[...] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    out = o_ref[0]
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        doh = do[:, sl].astype(jnp.float32)
+        s = _dot_nt(q[:, sl], k[:, sl]) * scale
+        p = jnp.exp(s - lse_ref[0, h][:, None])
+        delta = jnp.sum(doh * out[:, sl].astype(jnp.float32), axis=-1,
+                        keepdims=True)
+        dp = _dot_nt(doh, v[:, sl].astype(jnp.float32))
+        ds = p * (dp - delta) * scale
+        dq_scr[h] += jnp.dot(ds.astype(k.dtype), k[:, sl],
+                             preferred_element_type=jnp.float32)
 
     @pl.when(j == nk - 1)
     def _():
-        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+        dq_ref[0] = jnp.concatenate(
+            [dq_scr[h] for h in range(heads)], axis=-1
+        ).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
-    """Accumulates dk/dv over q blocks: grid (BH, nk, nq), q minor."""
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *,
+                    scale: float, heads: int):
     i = pl.program_id(2)
     nq = pl.num_programs(2)
+    hd = q_ref.shape[-1]
+    d = hd // heads
 
     @pl.when(i == 0)
     def _():
-        dk_acc[...] = jnp.zeros_like(dk_acc)
-        dv_acc[...] = jnp.zeros_like(dv_acc)
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32)      # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)      # (BK, D)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)    # (BQ, D)
-    lse = lse_ref[0]                      # (BQ, 1)
-    delta = delta_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                              # (BQ, BK)
-    p = jnp.exp(s - lse)
-    dv_acc[...] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )                                      # (BK, D)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )                                      # (BQ, BK)
-    ds = p * (dp - delta) * scale
-    dk_acc[...] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    out = o_ref[0]
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        doh = do[:, sl].astype(jnp.float32)
+        s = _dot_nt(q[:, sl], k[:, sl]) * scale  # (BQ, BK)
+        p = jnp.exp(s - lse_ref[0, h][:, None])
+        dv_scr[h] += _dot_tn(p.astype(do.dtype), do[:, sl])
+        delta = jnp.sum(doh * out[:, sl].astype(jnp.float32), axis=-1,
+                        keepdims=True)
+        dp = _dot_nt(doh, v[:, sl].astype(jnp.float32))
+        ds = p * (dp - delta) * scale
+        dk_scr[h] += _dot_tn(ds.astype(q.dtype), q[:, sl])
 
     @pl.when(i == nq - 1)
     def _():
-        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+        dk_ref[0] = jnp.concatenate(
+            [dk_scr[h] for h in range(heads)], axis=-1
+        ).astype(dk_ref.dtype)
+        dv_ref[0] = jnp.concatenate(
+            [dv_scr[h] for h in range(heads)], axis=-1
+        ).astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, out, lse, do, scale: float, block_q: int, block_k: int):
-    bh, sq, d = q.shape
+def _flash_bwd(q, k, v, out, lse, do, scale, heads, block_q, block_k):
+    b, sq, hd = q.shape
     sk = k.shape[1]
-    delta = jnp.sum(
-        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
-    )  # (BH, SQ, 1)
-
+    d = hd // heads
     bq = min(block_q, sq)
     bk = min(block_k, sk)
     nq = pl.cdiv(sq, bq)
     nk = pl.cdiv(sk, bk)
 
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale),
-        grid=(bh, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, bq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
-    )(q, k, v, do, lse, delta)
+    q_blk = pl.BlockSpec((1, bq, hd), lambda bi, qi, ki: (bi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kv_blk = pl.BlockSpec((1, bk, hd), lambda bi, qi, ki: (bi, ki, 0),
+                          memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((1, heads, bq), lambda bi, qi, ki: (bi, 0, qi),
+                           memory_space=pltpu.VMEM)
 
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, heads=heads),
+        grid=(b, nq, nk),
+        in_specs=[q_blk, kv_blk, kv_blk, q_blk, q_blk, lse_blk],
+        out_specs=q_blk,
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        scratch_shapes=[pltpu.VMEM((heads, bq, d), jnp.float32)],
+        interpret=_interpret(),
+    )(q, k, v, do, out, lse)
+
+    # q-side blocks iterate in the minor grid dim here
+    q_blk2 = pl.BlockSpec((1, bq, hd), lambda bi, ki, qi: (bi, qi, 0),
+                          memory_space=pltpu.VMEM)
+    kv_blk2 = pl.BlockSpec((1, bk, hd), lambda bi, ki, qi: (bi, ki, 0),
+                           memory_space=pltpu.VMEM)
+    lse_blk2 = pl.BlockSpec((1, heads, bq), lambda bi, ki, qi: (bi, 0, qi),
+                            memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale),
-        grid=(bh, nk, nq),
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-        ],
+        functools.partial(_bwd_dkv_kernel, scale=scale, heads=heads),
+        grid=(b, nk, nq),
+        in_specs=[q_blk2, kv_blk2, kv_blk2, q_blk2, q_blk2, lse_blk2],
+        out_specs=[kv_blk2, kv_blk2],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+            jax.ShapeDtypeStruct((b, sk, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, sk, hd), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bk, d), jnp.float32),
-            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((heads, bk, d), jnp.float32),
+            pltpu.VMEM((heads, bk, d), jnp.float32),
         ],
-    )(q, k, v, do, lse, delta)
+        interpret=_interpret(),
+    )(q, k, v, do, out, lse)
     return dq, dk, dv
 
 
@@ -235,24 +282,39 @@ def _flash_bwd(q, k, v, out, lse, do, scale: float, block_q: int, block_k: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_attention_bhsd(q, k, v, scale, block_q, block_k):
-    out, _ = _flash_fwd(q, k, v, scale, block_q)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_attention_bsh(q, k, v, scale, heads, block_q, block_k,
+                         bwd_block_q, bwd_block_k):
+    out, _ = _flash_fwd(q, k, v, scale, heads, block_q, block_k)
     return out
 
 
-def _flash_attention_fwd_rule(q, k, v, scale, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, scale, block_q)
+def _fwd_rule(q, k, v, scale, heads, block_q, block_k, bwd_block_q,
+              bwd_block_k):
+    out, lse = _flash_fwd(q, k, v, scale, heads, block_q, block_k)
     return out, (q, k, v, out, lse)
 
 
-def _flash_attention_bwd_rule(scale, block_q, block_k, res, do):
+def _bwd_rule(scale, heads, block_q, block_k, bwd_block_q, bwd_block_k,
+              res, do):
     q, k, v, out, lse = res
-    dq, dk, dv = _flash_bwd(q, k, v, out, lse, do, scale, block_q, block_k)
-    return dq, dk, dv
+    return _flash_bwd(q, k, v, out, lse, do, scale, heads, bwd_block_q,
+                      bwd_block_k)
 
 
-_flash_attention_bhsd.defvjp(_flash_attention_fwd_rule, _flash_attention_bwd_rule)
+_flash_attention_bsh.defvjp(_fwd_rule, _bwd_rule)
+
+
+def supported(q_shape, k_shape, heads: int, block_q: int = DEFAULT_BQ,
+              block_k: int = DEFAULT_BK) -> bool:
+    b, sq, hd = q_shape
+    sk = k_shape[1]
+    if hd % heads:
+        return False
+    d = hd // heads
+    if d % 8:
+        return False  # head slices must stay sublane-aligned lane ranges
+    return sq % min(block_q, sq) == 0 and sk % min(block_k, sk) == 0
 
 
 def flash_attention(
@@ -261,20 +323,22 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     scale: float,
+    heads: int,
     block_q: int = DEFAULT_BQ,
     block_k: int = DEFAULT_BK,
+    bwd_block_q: int = DEFAULT_BWD_BQ,
+    bwd_block_k: int = DEFAULT_BWD_BK,
 ) -> jnp.ndarray:
-    """Differentiable flash attention over (batch, seq, heads, head_dim)."""
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
-
-    def to_bhsd(x, s):
-        x = x.transpose(0, 2, 1, 3).reshape(b * h, s, x.shape[-1])
-        return _pad_head_dim(x)[0]
-
-    qf = to_bhsd(q, sq)
-    kf = to_bhsd(k, sk)
-    vf = to_bhsd(v, sk)
-    out = _flash_attention_bhsd(qf, kf, vf, scale, block_q, block_k)
-    out = out[..., :d].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
-    return out
+    """Differentiable exact attention over natural-layout (B, S, heads*D)
+    tensors.  Check :func:`supported` first.  The backward kernels use
+    their own (smaller) tile sizes: they hold extra f32 accumulators."""
+    if not supported(q.shape, k.shape, heads, block_q, block_k):
+        raise ValueError(
+            f"unsupported flash attention shapes q={q.shape} k={k.shape}"
+        )
+    if not supported(q.shape, k.shape, heads, bwd_block_q, bwd_block_k):
+        raise ValueError(
+            f"unsupported backward tiling for q={q.shape} k={k.shape}"
+        )
+    return _flash_attention_bsh(q, k, v, scale, heads, block_q, block_k,
+                                bwd_block_q, bwd_block_k)

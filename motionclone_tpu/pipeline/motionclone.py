@@ -98,7 +98,8 @@ def make_sampling_fns(
     *,
     dtype: jnp.dtype = jnp.bfloat16,
     attention_impl: str = "auto",
-    remat_guided: bool = True,
+    guided_attention_impl: Optional[str] = None,
+    remat_guided: bool = False,
     controlnet_apply: Optional[Callable] = None,
 ) -> SamplingFns:
     """Build the jitted extract/sample functions for one workload config.
@@ -108,10 +109,17 @@ def make_sampling_fns(
     workloads (SparseCtrl); None for t2v.
     """
     ddim = make_ddim_params(sched_cfg)
+    if guided_attention_impl is None:
+        # the differentiated pass streams 64x64 attention through the Pallas
+        # flash kernel: XLA's attention backward would materialize the full
+        # (B, H, 4096, 4096) probability tensor (4.3 GB) and overflow HBM
+        guided_attention_impl = (
+            "grad-safe" if jax.default_backend() == "tpu" else attention_impl
+        )
     guided_unet = UNet3DConditionModel(
         cfg=unet_cfg,
         guidance_blocks=tuple(infer_cfg.motion_guidance_blocks),
-        attention_impl=attention_impl,
+        attention_impl=guided_attention_impl,
         dtype=dtype,
     )
     plain_unet = UNet3DConditionModel(
@@ -187,9 +195,11 @@ def make_sampling_fns(
         return loss, noise_pred
 
     if remat_guided:
-        # bound backward memory: recompute block activations instead of
-        # saving the whole 512^2 graph (the analog of the reference's
-        # fp16 + partial-no-grad memory cap, SURVEY §7 hard part 2)
+        # Optional memory bound: save matmul outputs, recompute elementwise
+        # chains (the analog of the reference's fp16 + partial-no-grad
+        # memory cap, SURVEY §7 hard part 2).  Off by default: with the
+        # grad-safe attention impl the residuals fit v5e HBM at 512^2/16f,
+        # and remat costs ~35% per guided step in recompute.
         _unet_loss = jax.checkpoint(
             _unet_loss,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,

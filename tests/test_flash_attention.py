@@ -1,30 +1,50 @@
-"""Pallas flash attention vs the XLA reference path (interpret mode on CPU)."""
+"""Pallas flash attention vs the XLA reference path (interpret mode on CPU).
+
+The kernel consumes natural-layout (B, S, heads*D) tensors (see
+ops/flash_attention.py); the oracle is the einsum formulation over
+(B, S, H, D)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental.pallas import tpu as pltpu
 
 from motionclone_tpu.ops.attention import _xla_attention
-from motionclone_tpu.ops.flash_attention import flash_attention
+from motionclone_tpu.ops.flash_attention import flash_attention, supported
 
 B, S, H, D = 2, 1024, 2, 40  # SD1.5 spatial head dim 40, non-128-aligned
 
 
-def _qkv(seed, s=S, d=D):
+def _qkv(seed, s=S, d=D, h=H):
     rng = np.random.default_rng(seed)
-    shape = (B, s, H, d)
+    shape = (B, s, h, d)
     return tuple(
         jnp.asarray(rng.normal(size=shape), jnp.float32) for _ in range(3)
     )
 
 
+def _flash(q, k, v, scale, block_q=256):
+    b, s, h, d = q.shape
+    sk = k.shape[1]
+    out = flash_attention(
+        q.reshape(b, s, h * d), k.reshape(b, sk, h * d),
+        v.reshape(b, sk, h * d), scale=scale, heads=h, block_q=block_q,
+    )
+    return out.reshape(b, s, h, d)
+
+
+def test_supported_gate():
+    assert supported((1, 4096, 320), (1, 4096, 320), 8)
+    assert supported((1, 1024, 640), (1, 1024, 640), 8)
+    assert supported((1, 16384, 320), (1, 16384, 320), 8)    # streaming: any S
+    assert not supported((1, 4096, 321), (1, 4096, 321), 8)  # heads mismatch
+    assert not supported((1, 4000, 320), (1, 4000, 320), 8)  # uneven q tiling
+
+
 def test_forward_matches_xla():
     q, k, v = _qkv(0)
     scale = D**-0.5
-    with pltpu.force_tpu_interpret_mode():
-        out = flash_attention(q, k, v, scale=scale, block_q=256, block_k=256)
+    out = _flash(q, k, v, scale)
     ref = _xla_attention(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
@@ -34,16 +54,12 @@ def test_backward_matches_xla():
     scale = D**-0.5
 
     def f_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(
-                flash_attention(q, k, v, scale=scale, block_q=256, block_k=256) ** 2
-            )
+        return jnp.sum(_flash(q, k, v, scale) ** 2)
 
     def f_ref(q, k, v):
         return jnp.sum(_xla_attention(q, k, v, scale) ** 2)
 
-    with pltpu.force_tpu_interpret_mode():
-        g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for gf, gr, name in zip(g_flash, g_ref, "qkv"):
         np.testing.assert_allclose(
@@ -52,10 +68,28 @@ def test_backward_matches_xla():
         )
 
 
-@pytest.mark.parametrize("d", [40, 80, 128])
-def test_head_dims(d):
-    q, k, v = _qkv(2, s=512, d=d)
-    with pltpu.force_tpu_interpret_mode():
-        out = flash_attention(q, k, v, scale=d**-0.5, block_q=256, block_k=256)
+@pytest.mark.parametrize("d,h", [(40, 8), (80, 4), (128, 2)])
+def test_head_dims(d, h):
+    q, k, v = _qkv(2, s=512, d=d, h=h)
+    out = _flash(q, k, v, d**-0.5)
     ref = _xla_attention(q, k, v, d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_rejects_uneven_tiling():
+    # supported() requires the sequence to tile evenly by block_q
+    q, k, v = _qkv(3, s=768)
+    b, s, h, d = q.shape
+    with pytest.raises(ValueError):
+        flash_attention(
+            q.reshape(b, s, h * d), k.reshape(b, s, h * d),
+            v.reshape(b, s, h * d), scale=1.0, heads=h, block_q=512,
+        )
+
+
+def test_multiple_kv_blocks_online_softmax():
+    # sk = 1024 with block_k 256 -> 4 streamed kv blocks
+    q, k, v = _qkv(4, s=1024)
+    out = _flash(q, k, v, D**-0.5, block_q=256)
+    ref = _xla_attention(q, k, v, D**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
