@@ -1,0 +1,122 @@
+"""Command-line entry points (installed as motionclone-t2v / -i2v / -sweep).
+
+The repo-root scripts ``t2v_video_sample.py`` / ``i2v_video_sample.py`` /
+``sweep_video_sample.py`` mirror the reference's flag surface
+(reference t2v_video_sample.py:107-124, i2v_video_sample.py:140-157) and
+delegate here, so installed and in-repo invocations share one code path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+from motionclone_tpu.config import load_examples, load_inference_config
+from motionclone_tpu.pipeline.runner import MotionCloneRuntime
+
+
+def build_parser(default_config: str, default_examples: str) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--pretrained-model-path", type=str, default="models/StableDiffusion"
+    )
+    parser.add_argument("--inference_config", type=str, default=default_config)
+    parser.add_argument("--examples", type=str, default=default_examples)
+    parser.add_argument(
+        "--motion-representation-save-dir", type=str, default="motion_representation/"
+    )
+    parser.add_argument(
+        "--generated-videos-save-dir", type=str, default="generated_videos"
+    )
+    parser.add_argument("--default-seed", type=int, default=2025)
+    parser.add_argument("--L", type=int, default=16)
+    parser.add_argument("--W", type=int, default=512)
+    parser.add_argument("--H", type=int, default=512)
+    parser.add_argument("--config-root", type=str, default=".")
+    parser.add_argument("--float32", action="store_true")
+    return parser
+
+
+def _setup(args):
+    cfg = load_inference_config(
+        args.inference_config, width=args.W, height=args.H, video_length=args.L
+    )
+    os.makedirs(args.generated_videos_save_dir, exist_ok=True)
+    with open(
+        os.path.join(args.generated_videos_save_dir, "inference_config.json"), "w"
+    ) as f:
+        json.dump({k: str(v) for k, v in vars(cfg).items()}, f, indent=2)
+    runtime = MotionCloneRuntime(
+        args.pretrained_model_path,
+        cfg,
+        dtype=jnp.bfloat16 if not args.float32 else jnp.float32,
+        config_root=args.config_root,
+    )
+    return cfg, runtime
+
+
+def run_serial(args) -> None:
+    _, runtime = _setup(args)
+    for example in load_examples(args.examples):
+        out_path = runtime.run_example(
+            example,
+            motion_rep_dir=args.motion_representation_save_dir,
+            output_dir=args.generated_videos_save_dir,
+            default_seed=args.default_seed,
+            config_root=args.config_root,
+        )
+        print(out_path, "is done")
+
+
+def t2v_main(argv: Optional[Sequence[str]] = None) -> None:
+    args = build_parser(
+        "configs/t2v_camera.yaml", "configs/t2v_camera.jsonl"
+    ).parse_args(argv)
+    run_serial(args)
+
+
+def i2v_main(argv: Optional[Sequence[str]] = None) -> None:
+    args = build_parser("configs/i2v_rgb.yaml", "configs/i2v_rgb.jsonl").parse_args(
+        argv
+    )
+    cfg = load_inference_config(
+        args.inference_config, width=args.W, height=args.H, video_length=args.L
+    )
+    if not cfg.controlnet_path or not cfg.controlnet_config:
+        raise ValueError(
+            "i2v requires controlnet_path and controlnet_config in the YAML"
+        )
+    for example in load_examples(args.examples):
+        if not example.condition_image_paths:
+            raise ValueError(
+                f"i2v example missing condition_image_paths: {example}"
+            )
+    run_serial(args)
+
+
+def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
+    import jax
+
+    from motionclone_tpu.pipeline.sweep import run_sweep
+
+    parser = build_parser("configs/t2v_camera.yaml", "configs/t2v_camera.jsonl")
+    parser.add_argument("--num-devices", type=int, default=0)
+    args = parser.parse_args(argv)
+    _, runtime = _setup(args)
+    examples = load_examples(args.examples)
+    print(f"{len(examples)} examples over {len(jax.devices())} devices")
+    paths = run_sweep(
+        runtime,
+        examples,
+        motion_rep_dir=args.motion_representation_save_dir,
+        output_dir=args.generated_videos_save_dir,
+        default_seed=args.default_seed,
+        config_root=args.config_root,
+        num_devices=args.num_devices,
+    )
+    for p in paths:
+        print(p, "is done")

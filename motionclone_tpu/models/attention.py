@@ -162,12 +162,7 @@ class Transformer3DModel(nn.Module):
 
         h = group_norm(
             x,
-            nn.GroupNorm(
-                num_groups=self.norm_num_groups,
-                epsilon=1e-6,
-                dtype=jnp.float32,
-                name="norm",
-            ),
+            make_group_norm(self.norm_num_groups, 1e-6, name="norm"),
             per_frame=True,  # reference folds frames before this norm
         )
         if self.use_linear_projection:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -61,8 +62,51 @@ def conv2d(
     )
 
 
+def _group_norm_nhwc(
+    x: jnp.ndarray, num_groups: int, eps: float,
+    scale: jnp.ndarray, bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """GroupNorm over (..., C) with f32 statistics, no f32 materialization.
+
+    Statistics via E[x^2] - E[x]^2 so one fused pass over the bf16 input
+    produces both moments; the normalize is an elementwise chain XLA fuses
+    into consumers.  (The flax ``nn.GroupNorm(dtype=f32)`` route materializes
+    a float32 copy of the activation first — 2x HBM traffic.)
+    """
+    n = x.shape[0]
+    c = x.shape[-1]
+    spatial = 1
+    for s in x.shape[1:-1]:
+        spatial *= s
+    xg = x.reshape(n, spatial, num_groups, c // num_groups)
+    xf = xg.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    mean2 = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    out = (xg.astype(jnp.float32) - mean) * rstd
+    out = out.reshape(x.shape)
+    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+class GroupNorm(nn.Module):
+    """Parameter-compatible replacement for ``nn.GroupNorm`` (scale/bias
+    param names match), computing stats without an f32 activation copy."""
+
+    num_groups: int
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return _group_norm_nhwc(x, self.num_groups, self.epsilon, scale, bias)
+
+
 def group_norm(
-    x: jnp.ndarray, norm: nn.GroupNorm, per_frame: bool = True
+    x: jnp.ndarray, norm: "GroupNorm", per_frame: bool = True
 ) -> jnp.ndarray:
     """GroupNorm over a video tensor with float32 statistics.
 
@@ -70,23 +114,21 @@ def group_norm(
     statistics per (sample, frame).  ``per_frame=False`` reproduces plain
     ``nn.GroupNorm`` applied to a 5D ``b c f h w`` tensor: statistics span
     frames too (reference uses this only when use_inflated_groupnorm=false).
-    The wrapped flax norm must be constructed with ``dtype=jnp.float32``.
     """
-    dtype = x.dtype
     if x.ndim == 5 and per_frame:
         xf, frames = fold_frames(x)
-        out = unfold_frames(norm(xf.astype(jnp.float32)), frames)
-    else:
-        out = norm(x.astype(jnp.float32))
-    return out.astype(dtype)
+        return unfold_frames(norm(xf), frames)
+    if x.ndim == 5:
+        # stats across frames too: fold (F, H, W) into the spatial axis
+        b, f, h, w, c = x.shape
+        return norm(x.reshape(b, f * h * w, c)).reshape(x.shape)
+    return norm(x)
 
 
 def make_group_norm(
     num_groups: int, epsilon: float, *, name: str
-) -> nn.GroupNorm:
-    return nn.GroupNorm(
-        num_groups=num_groups, epsilon=epsilon, dtype=jnp.float32, name=name
-    )
+) -> "GroupNorm":
+    return GroupNorm(num_groups=num_groups, epsilon=epsilon, name=name)
 
 
 def layer_norm(x: jnp.ndarray, norm: nn.LayerNorm) -> jnp.ndarray:

@@ -24,6 +24,7 @@ from motionclone_tpu.models.embeddings import temporal_positional_encoding
 from motionclone_tpu.models.layers import (
     group_norm,
     layer_norm,
+    make_group_norm,
     make_layer_norm,
 )
 from motionclone_tpu.models.attention import FeedForward
@@ -168,12 +169,7 @@ class TemporalTransformer3D(nn.Module):
 
         h = group_norm(
             x,
-            nn.GroupNorm(
-                num_groups=self.cfg.norm_num_groups,
-                epsilon=1e-6,
-                dtype=jnp.float32,
-                name="norm",
-            ),
+            make_group_norm(self.cfg.norm_num_groups, 1e-6, name="norm"),
             per_frame=True,  # reference folds frames before this norm
         )
         h = h.reshape(b, f, hh * ww, c)

@@ -75,20 +75,16 @@ def dot_product_attention(
     b, sq, h, d = q.shape
     sk = k.shape[1]
 
-    if impl == "auto":
-        # Measured on v5e in-model (512^2, 16 frames): the fused einsum path
-        # beats the Pallas flash kernel at every spatial shape — head_dim 40
-        # lane-slicing costs the kernel more than XLA's relayouts cost the
-        # einsum — so "auto" is currently always the einsum.  The Pallas
-        # kernel stays selectable (impl="flash") and is the memory-bound
-        # fallback for sequences whose logits would not fit HBM.
-        impl = "xla"
-    elif impl == "grad-safe":
-        # For differentiated passes: XLA's attention backward materializes
-        # the full (B, H, S, S) probability tensor — 4.3 GB at S=4096 —
-        # which overflows HBM next to the other residuals.  Streaming flash
-        # only where that tensor is huge; einsum elsewhere.
-        impl = "flash" if sq >= 4096 else "xla"
+    if impl in ("auto", "grad-safe"):
+        # Measured on v5e in-model (512^2, 16 frames): with whole-sequence
+        # key blocks the Pallas flash kernel beats the einsum path at every
+        # self-attention shape (10.4 vs ~17 ms at 64x64 — XLA relayouts k
+        # for ~7 ms per layer), and its custom VJP never materializes the
+        # (B, H, S, S) probability tensor that overflows HBM in the guided
+        # backward.  Cross-attention (kv = 77) and tiny shapes: einsum.
+        impl = "flash" if (
+            sq >= 256 and sk >= 256 and _default_backend_is_tpu()
+        ) else "xla"
 
     if impl == "xla":
         return _xla_attention(q, k, v, scale)

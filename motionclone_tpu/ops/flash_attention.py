@@ -31,18 +31,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Swept on v5e at 64x64/16f (see repo history): larger tiles amortize the
-# per-(cell, head) softmax/slice overhead; these are the fastest combos that
-# stay inside scoped VMEM with the f32 logit temporaries.
-DEFAULT_BQ = 512
-DEFAULT_BK = 1024
+# Swept on v5e at 64x64/16f: whole-sequence key blocks (the full K/V for
+# one batch element is only ~2.6 MB) with narrow query tiles minimize the
+# per-(cell, head) overhead; the raised vmem_limit_bytes below makes the
+# f32 logit temporaries fit.
+DEFAULT_BQ = 128
+DEFAULT_BK = 4096
 DEFAULT_BWD_BQ = 256
-DEFAULT_BWD_BK = 512
+DEFAULT_BWD_BK = 2048
 NEG_INF = -1e30
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+# v5e has 128 MB of VMEM; the default 16 MB scoped budget rejects the larger
+# (faster) tiles, so raise the per-kernel cap and let Mosaic balance
+# pipelining itself.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _dot_nt(a, b):  # (M, D) x (N, D) -> (M, N), f32
@@ -141,6 +148,7 @@ def _flash_fwd(
             bytes_accessed=2 * b * (sq + 2 * sk) * hd * q.dtype.itemsize,
             transcendentals=b * heads * sq * sk,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(q, k, v)
     return out, lse
@@ -249,6 +257,7 @@ def _flash_bwd(q, k, v, out, lse, do, scale, heads, block_q, block_k):
         out_specs=q_blk,
         out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
         scratch_shapes=[pltpu.VMEM((heads, bq, d), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(q, k, v, do, out, lse)
 
@@ -272,6 +281,7 @@ def _flash_bwd(q, k, v, out, lse, do, scale, heads, block_q, block_k):
             pltpu.VMEM((heads, bk, d), jnp.float32),
             pltpu.VMEM((heads, bk, d), jnp.float32),
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(q, k, v, do, out, lse)
     return dq, dk, dv
@@ -314,6 +324,8 @@ def supported(q_shape, k_shape, heads: int, block_q: int = DEFAULT_BQ,
     d = hd // heads
     if d % 8:
         return False  # head slices must stay sublane-aligned lane ranges
+    if 2 * min(block_k, sk) * hd * 2 > 24 * 1024 * 1024:
+        return False  # double-buffered K/V block must leave VMEM headroom
     return sq % min(block_q, sq) == 0 and sk % min(block_k, sk) == 0
 
 

@@ -134,6 +134,9 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _temporal_fwd(q, k, v, scale: float, ts: int, heads: int):
     b, f, s, hd = q.shape
     grid, x_spec, lse_spec = _specs(b, f, s, hd, heads, ts)
@@ -152,6 +155,7 @@ def _temporal_fwd(q, k, v, scale: float, ts: int, heads: int):
             bytes_accessed=8 * b * f * s * hd,
             transcendentals=b * heads * s * f * f,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(q, k, v)
     return out, lse
@@ -166,6 +170,7 @@ def _temporal_bwd(q, k, v, lse, do, scale: float, ts: int, heads: int):
         in_specs=[x_spec] * 4 + [lse_spec],
         out_specs=[x_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(q, k, v, do, lse)
     return dq, dk, dv
