@@ -85,7 +85,13 @@ def main():
     )()
     jax.block_until_ready(vae_params)
     log(f"vae params initialized in {time.time()-t0:.0f}s")
-    decode = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))
+
+    def _decode_uint8(p, z):
+        video = vae.apply(p, z, method=vae.decode)
+        video01 = jnp.clip(video.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        return jnp.round(video01 * 255.0).astype(jnp.uint8)
+
+    decode = jax.jit(_decode_uint8)
 
     fns = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=dtype)
 

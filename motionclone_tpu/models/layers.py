@@ -131,13 +131,35 @@ def make_group_norm(
     return GroupNorm(num_groups=num_groups, epsilon=epsilon, name=name)
 
 
-def layer_norm(x: jnp.ndarray, norm: nn.LayerNorm) -> jnp.ndarray:
+class LayerNorm(nn.Module):
+    """Parameter-compatible replacement for ``nn.LayerNorm`` (scale/bias
+    param names match) with f32 statistics and no f32 activation copy."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        mean2 = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        out = (xf - mean) * rstd * scale.astype(jnp.float32) + bias.astype(
+            jnp.float32
+        )
+        return out.astype(x.dtype)
+
+
+def layer_norm(x: jnp.ndarray, norm: "LayerNorm") -> jnp.ndarray:
     """LayerNorm with float32 statistics, result cast back to input dtype."""
-    return norm(x.astype(jnp.float32)).astype(x.dtype)
+    return norm(x)
 
 
-def make_layer_norm(*, name: str) -> nn.LayerNorm:
-    return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+def make_layer_norm(*, name: str) -> "LayerNorm":
+    return LayerNorm(epsilon=1e-5, name=name)
 
 
 class Upsample(nn.Module):

@@ -301,10 +301,12 @@ def make_sampling_fns(
 
     # The full schedule runs as a handful of chunked dispatches instead of
     # one monolithic 100-step scan: same math (the scan body is identical,
-    # chunk boundaries just split the xs), but each dispatch stays a few
-    # seconds long and the compiled bodies are reused across chunks.
+    # chunk boundaries just split the xs) and the compiled bodies are
+    # reused across chunks.  Chunk boundaries cost real idle time through
+    # the dispatch tunnel (~0.3 s each measured), so chunks are as long as
+    # compile time tolerates.
     def sample(params, init_latents, uncond_emb, cond_emb, motion_rep,
-               cn_params=None, cn_cond=None, chunk_steps: int = 10):
+               cn_params=None, cn_cond=None, chunk_steps: int = 50):
         def chunks(arrays, length):
             n = len(arrays[0])
             lo = 0
@@ -341,7 +343,7 @@ def make_sampling_fns(
     tp_plain_j = jnp.asarray(tp_plain)
 
     def sample_plain(params, init_latents, uncond_emb, cond_emb,
-                     cn_params=None, cn_cond=None, chunk_steps: int = 10):
+                     cn_params=None, cn_cond=None, chunk_steps: int = 50):
         latents = init_latents
         no_rep: MotionRep = {}
         n = len(ts_plain_j)

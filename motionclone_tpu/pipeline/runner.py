@@ -69,6 +69,19 @@ class MotionCloneRuntime:
         def j(p):
             return os.path.join(config_root, p) if p else ""
 
+        # fetch well-known hub assets if missing (reference util.py:101-113;
+        # raises a FileNotFoundError naming the repo in offline environments)
+        from motionclone_tpu.weights.io import auto_download
+
+        if infer_cfg.motion_module:
+            auto_download(j(infer_cfg.motion_module))
+        if infer_cfg.adapter_lora_path:
+            auto_download(j(infer_cfg.adapter_lora_path))
+        if infer_cfg.dreambooth_path and not os.path.exists(
+            j(infer_cfg.dreambooth_path)
+        ):
+            auto_download(j(infer_cfg.dreambooth_path), is_dreambooth_lora=True)
+
         sds = assemble_pipeline_state_dicts(
             pretrained_model_path,
             motion_module_path=j(infer_cfg.motion_module),
@@ -137,9 +150,14 @@ class MotionCloneRuntime:
         self._vae_encode = jax.jit(
             lambda p, x: self.vae.apply(p, x, method=self.vae.encode)
         )
-        self._vae_decode = jax.jit(
-            lambda p, z: self.vae.apply(p, z, method=self.vae.decode)
-        )
+        def _decode_uint8(p, z):
+            # decode + [-1,1] -> uint8 on device: the device->host link is
+            # slow (~10 MB/s measured), so fetch 1 byte/pixel, not 4
+            video = self.vae.apply(p, z, method=self.vae.decode)
+            video01 = jnp.clip(video.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            return jnp.round(video01 * 255.0).astype(jnp.uint8)
+
+        self._vae_decode = jax.jit(_decode_uint8)
         self._clip_apply = jax.jit(lambda p, ids: self.clip.apply(p, ids))
 
     # ------------------------------------------------------------------
@@ -179,14 +197,11 @@ class MotionCloneRuntime:
 
     def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
         """Latents -> uint8 RGB frames (F, H, W, 3)
-        (pipeline_animation.py:249-263, whole clip in one call)."""
-        from motionclone_tpu.io import hostops
-
+        (pipeline_animation.py:249-263, whole clip in one call; the
+        [-1,1]->uint8 conversion runs on device before the host fetch)."""
         z = latents.astype(self.dtype) / VAE_SCALING
         video = self._vae_decode(self.vae_params, z)
-        video = np.asarray(video.astype(jnp.float32))
-        video01 = np.clip(video / 2 + 0.5, 0.0, 1.0)
-        return hostops.to_uint8(video01[0])
+        return np.asarray(video[0])
 
     # ------------------------------------------------------------------
     # per-example flow (reference t2v_video_sample.py:75-105)
