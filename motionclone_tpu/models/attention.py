@@ -27,6 +27,11 @@ from motionclone_tpu.models.layers import (
     spatial_conv,
 )
 from motionclone_tpu.ops.attention import dot_product_attention
+from motionclone_tpu.ops.fused_block import (
+    BlockWeights,
+    fused_transformer_block,
+    supported as fused_block_supported,
+)
 
 
 class CrossAttention(nn.Module):
@@ -109,6 +114,43 @@ class BasicTransformerBlock(nn.Module):
     def __call__(
         self, x: jnp.ndarray, context: Optional[jnp.ndarray]
     ) -> jnp.ndarray:
+        if (
+            self.attention_impl == "fused"
+            and not self.is_initializing()
+            and context is not None
+            and self.cross_attention_dim is not None
+            and fused_block_supported(x.shape[1], self.dim, self.heads)
+        ):
+            # whole-block Pallas kernel (forward-only paths); parameters were
+            # created by the unfused path during init, read them back here
+            p = lambda name: self.get_variable("params", name)
+            w = BlockWeights(
+                ln1_scale=p("norm1")["scale"],
+                ln1_bias=p("norm1")["bias"],
+                wq1=p("attn1")["to_q"]["kernel"],
+                wk1=p("attn1")["to_k"]["kernel"],
+                wv1=p("attn1")["to_v"]["kernel"],
+                wo1=p("attn1")["to_out_0"]["kernel"],
+                bo1=p("attn1")["to_out_0"]["bias"],
+                ln2_scale=p("norm2")["scale"],
+                ln2_bias=p("norm2")["bias"],
+                wq2=p("attn2")["to_q"]["kernel"],
+                wk2=p("attn2")["to_k"]["kernel"],
+                wv2=p("attn2")["to_v"]["kernel"],
+                wo2=p("attn2")["to_out_0"]["kernel"],
+                bo2=p("attn2")["to_out_0"]["bias"],
+                ln3_scale=p("norm3")["scale"],
+                ln3_bias=p("norm3")["bias"],
+                wff1=p("ff")["net_0"]["proj"]["kernel"],
+                bff1=p("ff")["net_0"]["proj"]["bias"],
+                wff2=p("ff")["net_2"]["kernel"],
+                bff2=p("ff")["net_2"]["bias"],
+            )
+            return fused_transformer_block(
+                x.astype(self.dtype), context.astype(self.dtype), w,
+                heads=self.heads,
+            )
+
         h = layer_norm(x, make_layer_norm(name="norm1"))
         x = x + CrossAttention(
             heads=self.heads,

@@ -75,7 +75,10 @@ def dot_product_attention(
     b, sq, h, d = q.shape
     sk = k.shape[1]
 
-    if impl in ("auto", "grad-safe"):
+    if impl in ("auto", "grad-safe", "fused"):
+        # "fused" selects the whole-block kernel in BasicTransformerBlock;
+        # attention calls that still reach this dispatcher (unsupported
+        # shapes, temporal fallbacks) use the same policy as "auto"
         # Measured on v5e in-model (512^2, 16 frames): with whole-sequence
         # key blocks the Pallas flash kernel beats the einsum path at every
         # self-attention shape (10.4 vs ~17 ms at 64x64 — XLA relayouts k

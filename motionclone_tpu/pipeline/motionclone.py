@@ -122,8 +122,13 @@ def make_sampling_fns(
         attention_impl=guided_attention_impl,
         dtype=dtype,
     )
+    plain_impl = attention_impl
+    if attention_impl == "auto" and jax.default_backend() == "tpu":
+        # non-differentiated passes run whole transformer blocks as single
+        # Pallas kernels (ops/fused_block.py)
+        plain_impl = "fused"
     plain_unet = UNet3DConditionModel(
-        cfg=unet_cfg, guidance_blocks=(), attention_impl=attention_impl, dtype=dtype
+        cfg=unet_cfg, guidance_blocks=(), attention_impl=plain_impl, dtype=dtype
     )
     cut = guidance_cut_index(infer_cfg.motion_guidance_blocks)
 
