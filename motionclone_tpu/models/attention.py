@@ -29,9 +29,12 @@ from motionclone_tpu.models.layers import (
 from motionclone_tpu.ops.attention import dot_product_attention
 from motionclone_tpu.ops.fused_block import (
     BlockWeights,
+    TransformerWeights,
+    fused_spatial_transformer,
     fused_transformer_block,
     supported as fused_block_supported,
 )
+from motionclone_tpu.ops.fused_temporal import folded_groupnorm_affine
 
 
 class CrossAttention(nn.Module):
@@ -194,6 +197,31 @@ class Transformer3DModel(nn.Module):
     attention_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
+    def _block_weights(self, prefix: str) -> BlockWeights:
+        blk = self.get_variable("params", prefix)
+        return BlockWeights(
+            ln1_scale=blk["norm1"]["scale"],
+            ln1_bias=blk["norm1"]["bias"],
+            wq1=blk["attn1"]["to_q"]["kernel"],
+            wk1=blk["attn1"]["to_k"]["kernel"],
+            wv1=blk["attn1"]["to_v"]["kernel"],
+            wo1=blk["attn1"]["to_out_0"]["kernel"],
+            bo1=blk["attn1"]["to_out_0"]["bias"],
+            ln2_scale=blk["norm2"]["scale"],
+            ln2_bias=blk["norm2"]["bias"],
+            wq2=blk["attn2"]["to_q"]["kernel"],
+            wk2=blk["attn2"]["to_k"]["kernel"],
+            wv2=blk["attn2"]["to_v"]["kernel"],
+            wo2=blk["attn2"]["to_out_0"]["kernel"],
+            bo2=blk["attn2"]["to_out_0"]["bias"],
+            ln3_scale=blk["norm3"]["scale"],
+            ln3_bias=blk["norm3"]["bias"],
+            wff1=blk["ff"]["net_0"]["proj"]["kernel"],
+            bff1=blk["ff"]["net_0"]["proj"]["bias"],
+            wff2=blk["ff"]["net_2"]["kernel"],
+            bff2=blk["ff"]["net_2"]["bias"],
+        )
+
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, context: Optional[jnp.ndarray]
@@ -201,6 +229,41 @@ class Transformer3DModel(nn.Module):
         b, f, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
+
+        if (
+            self.attention_impl == "fused"
+            and not self.is_initializing()
+            and context is not None
+            and self.cross_attention_dim is not None
+            and not self.use_linear_projection
+            and self.num_layers == 1
+            and inner == c
+            and fused_block_supported(hh * ww, inner, self.heads)
+        ):
+            # whole Transformer3DModel (GN-affine -> proj_in -> block ->
+            # proj_out -> +residual) as one Pallas kernel; GroupNorm stats
+            # are one cheap XLA reduction outside
+            p = lambda name: self.get_variable("params", name)
+            xs = x.reshape(b, f, hh * ww, c)
+            gw, gb = folded_groupnorm_affine(
+                xs, self.norm_num_groups, 1e-6,
+                p("norm")["scale"], p("norm")["bias"],
+            )
+            w = TransformerWeights(
+                gn_w=gw.reshape(b * f, c),
+                gn_b=gb.reshape(b * f, c),
+                win=p("proj_in")["kernel"].reshape(c, inner),
+                bin=p("proj_in")["bias"],
+                block=self._block_weights("transformer_blocks_0"),
+                wout=p("proj_out")["kernel"].reshape(inner, c),
+                bout=p("proj_out")["bias"],
+            )
+            ctx = jnp.repeat(context, f, axis=0).astype(self.dtype)
+            out = fused_spatial_transformer(
+                xs.reshape(b * f, hh * ww, c).astype(self.dtype), ctx, w,
+                heads=self.heads,
+            )
+            return out.reshape(b, f, hh, ww, c)
 
         h = group_norm(
             x,

@@ -72,22 +72,37 @@ def _group_norm_nhwc(
     produces both moments; the normalize is an elementwise chain XLA fuses
     into consumers.  (The flax ``nn.GroupNorm(dtype=f32)`` route materializes
     a float32 copy of the activation first — 2x HBM traffic.)
+
+    Layout note (v5e, measured): reducing a ``(n, spatial, G, C/G)`` view
+    splits the channel (lane) dimension at C/G=10, which forces a relayout
+    of the whole activation inside the reduce fusion (~0.2-0.6 ms per norm,
+    ~35 ms per UNet forward).  Instead reduce **per channel over spatial
+    only** — lane-aligned — and combine channels into groups on the tiny
+    ``(n, C)`` moment array; the big tensor is only ever touched by
+    lane-preserving ops.
     """
     n = x.shape[0]
     c = x.shape[-1]
     spatial = 1
     for s in x.shape[1:-1]:
         spatial *= s
-    xg = x.reshape(n, spatial, num_groups, c // num_groups)
-    xf = xg.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    mean2 = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
-    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
-    rstd = jax.lax.rsqrt(var + eps)
-    out = (xg.astype(jnp.float32) - mean) * rstd
-    out = out.reshape(x.shape)
-    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return out.astype(x.dtype)
+    xs = x.reshape(n, spatial, c)
+    xf = xs.astype(jnp.float32)
+    # per-channel moments over spatial (sublane reduction, no lane split)
+    s1 = jnp.mean(xf, axis=1)            # (n, C)
+    s2 = jnp.mean(jnp.square(xf), axis=1)  # (n, C)
+    # group-combine on the tiny stats array
+    g1 = jnp.mean(s1.reshape(n, num_groups, c // num_groups), axis=-1)
+    g2 = jnp.mean(s2.reshape(n, num_groups, c // num_groups), axis=-1)
+    var = jnp.maximum(g2 - jnp.square(g1), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)      # (n, G)
+    # broadcast group stats back to per-channel (tiny -> (n, C))
+    mean_c = jnp.repeat(g1, c // num_groups, axis=-1)
+    rstd_c = jnp.repeat(rstd, c // num_groups, axis=-1)
+    w = rstd_c * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - mean_c * w
+    out = xf * w[:, None, :] + b[:, None, :]
+    return out.reshape(x.shape).astype(x.dtype)
 
 
 class GroupNorm(nn.Module):

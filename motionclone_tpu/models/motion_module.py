@@ -29,6 +29,13 @@ from motionclone_tpu.models.layers import (
 )
 from motionclone_tpu.models.attention import FeedForward
 from motionclone_tpu.ops.attention import attention_probs, dot_product_attention
+from motionclone_tpu.ops.fused_temporal import (
+    AttnWeights,
+    TemporalModuleWeights,
+    folded_groupnorm_affine,
+    fused_temporal_module,
+    supported as fused_temporal_supported,
+)
 from motionclone_tpu.ops.temporal_attention import (
     supported as temporal_kernel_supported,
     temporal_attention,
@@ -151,10 +158,17 @@ class TemporalTransformerBlock(nn.Module):
 
 class TemporalTransformer3D(nn.Module):
     """GroupNorm -> proj_in -> temporal blocks -> proj_out -> +residual
-    (motion_module.py:88-161).  Input/output (B, F, H, W, C)."""
+    (motion_module.py:88-161).  Input/output (B, F, H, W, C).
+
+    With ``attention_impl="fused"`` (non-differentiated passes, no probs
+    requested) the whole module after the GroupNorm statistics runs as one
+    Pallas kernel (ops/fused_temporal.py); init always takes the unfused
+    path so the parameter tree is identical.
+    """
 
     cfg: MotionModuleConfig
     zero_init_proj_out: bool = True
+    attention_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -166,6 +180,60 @@ class TemporalTransformer3D(nn.Module):
         heads = self.cfg.num_attention_heads
         dim_head = c // heads // self.cfg.temporal_attention_dim_div
         inner = heads * dim_head
+
+        if (
+            self.attention_impl == "fused"
+            and not self.is_initializing()
+            and not return_probs
+            and inner == c
+            and self.cfg.num_transformer_block == 1
+            and all(t == "Temporal_Self" for t in self.cfg.attention_block_types)
+            and fused_temporal_supported(f, hh * ww, c, heads)
+        ):
+            p = lambda name: self.get_variable("params", name)
+            xs = x.reshape(b, f, hh * ww, c)
+            gw, gb = folded_groupnorm_affine(
+                xs, self.cfg.norm_num_groups, 1e-6,
+                p("norm")["scale"], p("norm")["bias"],
+            )
+            blk = p("transformer_blocks_0")
+            attn = []
+            for i in range(len(self.cfg.attention_block_types)):
+                ab = blk[f"attention_blocks_{i}"]
+                attn.append(AttnWeights(
+                    ln_scale=blk[f"norms_{i}"]["scale"],
+                    ln_bias=blk[f"norms_{i}"]["bias"],
+                    wq=ab["to_q"]["kernel"],
+                    wk=ab["to_k"]["kernel"],
+                    wv=ab["to_v"]["kernel"],
+                    wo=ab["to_out_0"]["kernel"],
+                    bo=ab["to_out_0"]["bias"],
+                ))
+            pe = None
+            if self.cfg.temporal_position_encoding:
+                pe = temporal_positional_encoding(
+                    c, self.cfg.temporal_position_encoding_max_len
+                )[:f]
+            w = TemporalModuleWeights(
+                gn_w=gw,
+                gn_b=gb,
+                pe=pe,
+                win=p("proj_in")["kernel"],
+                bin=p("proj_in")["bias"],
+                attn=tuple(attn),
+                ffln_scale=blk["ff_norm"]["scale"],
+                ffln_bias=blk["ff_norm"]["bias"],
+                wff1=blk["ff"]["net_0"]["proj"]["kernel"],
+                bff1=blk["ff"]["net_0"]["proj"]["bias"],
+                wff2=blk["ff"]["net_2"]["kernel"],
+                bff2=blk["ff"]["net_2"]["bias"],
+                wout=p("proj_out")["kernel"],
+                bout=p("proj_out")["bias"],
+            )
+            out = fused_temporal_module(
+                xs.astype(self.dtype), w, heads=heads
+            )
+            return out.reshape(b, f, hh, ww, c), ()
 
         h = group_norm(
             x,
@@ -206,6 +274,7 @@ class VanillaTemporalModule(nn.Module):
     motion_module.py:77-78)."""
 
     cfg: MotionModuleConfig
+    attention_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -215,6 +284,7 @@ class VanillaTemporalModule(nn.Module):
         return TemporalTransformer3D(
             cfg=self.cfg,
             zero_init_proj_out=self.cfg.zero_initialize,
+            attention_impl=self.attention_impl,
             dtype=self.dtype,
             name="temporal_transformer",
         )(x, return_probs=return_probs)

@@ -110,6 +110,7 @@ class UNet3DConditionModel(nn.Module):
                 motion_module_cfg=cfg.motion_module,
                 path=f"down_blocks.{i}",
                 guidance_blocks=self.guidance_blocks,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
             )
             if block_type == "CrossAttnDownBlock3D":
@@ -117,7 +118,6 @@ class UNet3DConditionModel(nn.Module):
                     heads=cfg.num_heads,
                     cross_attention_dim=cfg.cross_attention_dim,
                     use_linear_projection=cfg.use_linear_projection,
-                    attention_impl=self.attention_impl,
                     name=f"down_blocks_{i}",
                     **common,
                 )(x, temb, encoder_hidden_states)
@@ -181,6 +181,7 @@ class UNet3DConditionModel(nn.Module):
                 motion_module_cfg=cfg.motion_module,
                 path=f"up_blocks.{i}",
                 guidance_blocks=self.guidance_blocks,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
             )
             if block_type == "CrossAttnUpBlock3D":
@@ -188,7 +189,6 @@ class UNet3DConditionModel(nn.Module):
                     heads=cfg.num_heads,
                     cross_attention_dim=cfg.cross_attention_dim,
                     use_linear_projection=cfg.use_linear_projection,
-                    attention_impl=self.attention_impl,
                     name=f"up_blocks_{i}",
                     **common,
                 )(x, block_skips, temb, encoder_hidden_states)

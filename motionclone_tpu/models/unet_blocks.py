@@ -61,11 +61,13 @@ def _run_motion_module(
 ) -> Tuple[jnp.ndarray, ProbsDict]:
     mm_path = f"{path}.motion_modules.{idx}"
     collect = match_guidance(mm_path, guidance_blocks)
+    attention_impl = getattr(parent, "attention_impl", "auto")
     # invoked from the parent's compact __call__, so the ambient scope
     # registers the module under the parent
     del parent
     x, probs = VanillaTemporalModule(
-        cfg=mm_cfg, dtype=dtype, name=f"motion_modules_{idx}"
+        cfg=mm_cfg, attention_impl=attention_impl, dtype=dtype,
+        name=f"motion_modules_{idx}"
     )(x, return_probs=collect)
     out: ProbsDict = {}
     if collect:
@@ -103,6 +105,7 @@ class CrossAttnDownBlock3D(nn.Module):
                 groups=self.norm_num_groups,
                 eps=self.norm_eps,
                 use_inflated_groupnorm=self.use_inflated_groupnorm,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(x, temb)
@@ -141,6 +144,7 @@ class DownBlock3D(nn.Module):
     motion_module_cfg: Optional[MotionModuleConfig]
     path: str = ""
     guidance_blocks: Tuple[str, ...] = ()
+    attention_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -155,6 +159,7 @@ class DownBlock3D(nn.Module):
                 groups=self.norm_num_groups,
                 eps=self.norm_eps,
                 use_inflated_groupnorm=self.use_inflated_groupnorm,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(x, temb)
@@ -198,6 +203,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
             groups=self.norm_num_groups,
             eps=self.norm_eps,
             use_inflated_groupnorm=self.use_inflated_groupnorm,
+            attention_impl=self.attention_impl,
             dtype=self.dtype,
             name="resnets_0",
         )(x, temb)
@@ -223,6 +229,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 groups=self.norm_num_groups,
                 eps=self.norm_eps,
                 use_inflated_groupnorm=self.use_inflated_groupnorm,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"resnets_{i + 1}",
             )(x, temb)
@@ -263,6 +270,7 @@ class CrossAttnUpBlock3D(nn.Module):
                 groups=self.norm_num_groups,
                 eps=self.norm_eps,
                 use_inflated_groupnorm=self.use_inflated_groupnorm,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(x, temb)
@@ -299,6 +307,7 @@ class UpBlock3D(nn.Module):
     motion_module_cfg: Optional[MotionModuleConfig]
     path: str = ""
     guidance_blocks: Tuple[str, ...] = ()
+    attention_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -317,6 +326,7 @@ class UpBlock3D(nn.Module):
                 groups=self.norm_num_groups,
                 eps=self.norm_eps,
                 use_inflated_groupnorm=self.use_inflated_groupnorm,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(x, temb)

@@ -165,6 +165,155 @@ def supported(s: int, c: int, heads: int, block_q: int = DEFAULT_BQ) -> bool:
     return s % min(block_q, s) == 0
 
 
+class TransformerWeights(NamedTuple):
+    """Entry/exit of a whole Transformer3DModel around one block.
+
+    ``gn_w``/``gn_b``: (B*F, C) per-frame folded GroupNorm affine (stats
+    computed outside, see ops/fused_temporal.folded_groupnorm_affine);
+    ``win``/``wout``: the 1x1 proj_in / proj_out convs as (C, C) matrices.
+    """
+
+    gn_w: jnp.ndarray
+    gn_b: jnp.ndarray
+    win: jnp.ndarray
+    bin: jnp.ndarray
+    block: BlockWeights
+    wout: jnp.ndarray
+    bout: jnp.ndarray
+
+
+def _transformer_kernel(
+    xt_ref, xf_ref, ctx_ref,
+    gnw, gnb, win, bin_,
+    ln1_s, ln1_b, wq1, wk1, wv1, wo1, bo1,
+    ln2_s, ln2_b, wq2, wk2, wv2, wo2, bo2,
+    ln3_s, ln3_b, wff1, bff1, wff2, bff2,
+    wout, bout,
+    y_ref,
+    h_scr, k_scr, v_scr, k2_scr, v2_scr,
+    *, heads: int, scale: float,
+):
+    """Whole Transformer3DModel: GN-affine -> proj_in -> block -> proj_out
+    -> +residual.  ``h_scr`` caches the frame's projected hidden states so
+    K/V and every query tile read the identical values."""
+    qi = pl.program_id(1)
+    dtype = xt_ref.dtype
+    bq = xt_ref.shape[1]
+
+    @pl.when(qi == 0)
+    def _():
+        xn = xf_ref[0].astype(jnp.float32) * gnw[...] + gnb[...]
+        h_full = _mm(xn.astype(dtype), win[...]) + bin_[...]
+        h_scr[...] = h_full.astype(dtype)
+        hn_full = _ln(h_scr[...], ln1_s, ln1_b, dtype)
+        k_scr[...] = _mm(hn_full, wk1[...]).astype(dtype)
+        v_scr[...] = _mm(hn_full, wv1[...]).astype(dtype)
+        ctx = ctx_ref[0]
+        k2_scr[...] = _mm(ctx, wk2[...]).astype(dtype)
+        v2_scr[...] = _mm(ctx, wv2[...]).astype(dtype)
+
+    xt = h_scr[pl.ds(qi * bq, bq), :]
+
+    # ---- attn1: self attention ----
+    xn = _ln(xt, ln1_s, ln1_b, dtype)
+    q = _mm(xn, wq1[...]).astype(dtype)
+    attn = _attend(q, k_scr[...], v_scr[...], heads, scale, dtype)
+    x1 = (xt.astype(jnp.float32) + _mm(attn, wo1[...]) + bo1[...]).astype(dtype)
+
+    # ---- attn2: cross attention over the text tokens ----
+    xn2 = _ln(x1, ln2_s, ln2_b, dtype)
+    q2 = _mm(xn2, wq2[...]).astype(dtype)
+    attn2 = _attend(q2, k2_scr[...], v2_scr[...], heads, scale, dtype)
+    x2 = (x1.astype(jnp.float32) + _mm(attn2, wo2[...]) + bo2[...]).astype(dtype)
+
+    # ---- ff: GEGLU ----
+    xn3 = _ln(x2, ln3_s, ln3_b, dtype)
+    hp = _mm(xn3, wff1[...]) + bff1[...]
+    half = hp.shape[-1] // 2
+    act = (hp[:, :half] * _gelu_exact(hp[:, half:])).astype(dtype)
+    x3 = (x2.astype(jnp.float32) + _mm(act, wff2[...]) + bff2[...]).astype(dtype)
+
+    # ---- proj_out + residual ----
+    y = _mm(x3, wout[...]) + bout[...]
+    y_ref[0] = (y + xt_ref[0].astype(jnp.float32)).astype(dtype)
+
+
+def fused_spatial_transformer(
+    x: jnp.ndarray,
+    ctx: jnp.ndarray,
+    w: TransformerWeights,
+    *,
+    heads: int,
+    block_q: int = DEFAULT_BQ,
+) -> jnp.ndarray:
+    """Run a whole single-layer Transformer3DModel over (BF, S, C) with text
+    context (BF, T, ctx_dim); GroupNorm statistics are folded into
+    ``w.gn_w``/``w.gn_b`` by the caller.  Check :func:`supported` first.
+    Forward-only."""
+    bf, s, c = x.shape
+    t = ctx.shape[1]
+    if not supported(s, c, heads, block_q):
+        raise ValueError(f"unsupported fused transformer shape {x.shape}")
+    bq = min(block_q, s)
+    nq = pl.cdiv(s, bq)
+    d = c // heads
+    scale = d**-0.5
+
+    def w_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda bi, qi: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    dtype = x.dtype
+    gn_spec = pl.BlockSpec((1, c), lambda bi, qi: (bi, 0),
+                           memory_space=pltpu.VMEM)
+    entry = [
+        jnp.asarray(w.gn_w, jnp.float32), jnp.asarray(w.gn_b, jnp.float32),
+        jnp.asarray(w.win, dtype), jnp.asarray(w.bin, jnp.float32).reshape(1, -1),
+    ]
+    blockw = [
+        jnp.asarray(a, dtype=dtype) if a.ndim == 2
+        else jnp.asarray(a, jnp.float32).reshape(1, -1)
+        for a in w.block
+    ]
+    exit_w = [
+        jnp.asarray(w.wout, dtype), jnp.asarray(w.bout, jnp.float32).reshape(1, -1),
+    ]
+    in_specs = [
+        pl.BlockSpec((1, bq, c), lambda bi, qi: (bi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, c), lambda bi, qi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, ctx.shape[-1]), lambda bi, qi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        gn_spec, gn_spec, w_spec(entry[2]), w_spec(entry[3]),
+    ] + [w_spec(a) for a in blockw] + [w_spec(a) for a in exit_w]
+
+    return pl.pallas_call(
+        functools.partial(_transformer_kernel, heads=heads, scale=scale),
+        grid=(bf, nq),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, c), lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bf, s, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((s, c), dtype),
+            pltpu.VMEM((s, c), dtype),
+            pltpu.VMEM((s, c), dtype),
+            pltpu.VMEM((t, c), dtype),
+            pltpu.VMEM((t, c), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bf * s * s * c + 20 * bf * s * c * c,
+            bytes_accessed=4 * bf * s * c * dtype.itemsize,
+            transcendentals=bf * heads * s * (s + t),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, x, ctx, *entry, *blockw, *exit_w)
+
+
 def fused_transformer_block(
     x: jnp.ndarray,
     ctx: jnp.ndarray,

@@ -89,3 +89,49 @@ def test_fused_multiple_query_tiles(data):
     out = make_block("fused").apply(params, x, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fused_whole_transformer():
+    """fused Transformer3DModel (GN+proj_in+block+proj_out+residual) matches
+    the unfused module."""
+    from motionclone_tpu.models.attention import Transformer3DModel
+
+    rng = np.random.default_rng(3)
+    b, f, hh, ww = 1, 2, 8, 16  # S = 128 = one query tile
+    x = jnp.asarray(rng.normal(size=(b, f, hh, ww, C)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(b, T, CTX_DIM)), jnp.float32)
+
+    def make(impl):
+        return Transformer3DModel(
+            heads=HEADS, dim_head=C // HEADS, num_layers=1,
+            cross_attention_dim=CTX_DIM, norm_num_groups=8,
+            attention_impl=impl, dtype=jnp.float32,
+        )
+
+    params = make("xla").init(jax.random.PRNGKey(0), x, ctx)
+    ref = make("xla").apply(params, x, ctx)
+    out = make("fused").apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_fused_whole_transformer_multi_tile():
+    from motionclone_tpu.models.attention import Transformer3DModel
+
+    rng = np.random.default_rng(4)
+    b, f, hh, ww = 1, 1, 32, 32  # S = 1024 = two query tiles
+    x = jnp.asarray(rng.normal(size=(b, f, hh, ww, C)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(b, T, CTX_DIM)), jnp.float32)
+
+    def make(impl):
+        return Transformer3DModel(
+            heads=HEADS, dim_head=C // HEADS, num_layers=1,
+            cross_attention_dim=CTX_DIM, norm_num_groups=8,
+            attention_impl=impl, dtype=jnp.float32,
+        )
+
+    params = make("xla").init(jax.random.PRNGKey(0), x, ctx)
+    ref = make("xla").apply(params, x, ctx)
+    out = make("fused").apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
