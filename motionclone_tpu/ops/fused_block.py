@@ -202,7 +202,7 @@ def _transformer_kernel(
 
     @pl.when(qi == 0)
     def _():
-        xn = xf_ref[0].astype(jnp.float32) * gnw[...] + gnb[...]
+        xn = xf_ref[0].astype(jnp.float32) * gnw[0] + gnb[0]
         h_full = _mm(xn.astype(dtype), win[...]) + bin_[...]
         h_scr[...] = h_full.astype(dtype)
         hn_full = _ln(h_scr[...], ln1_s, ln1_b, dtype)
@@ -264,10 +264,14 @@ def fused_spatial_transformer(
                             memory_space=pltpu.VMEM)
 
     dtype = x.dtype
-    gn_spec = pl.BlockSpec((1, c), lambda bi, qi: (bi, 0),
+    # per-row blocks must keep trailing dims equal to the array's (Mosaic
+    # requires block (..., m, n) with m % 8 == 0 or m == dim): carry the
+    # per-frame GN affine as (BF, 1, C) so the (1, 1, C) block is legal
+    gn_spec = pl.BlockSpec((1, 1, c), lambda bi, qi: (bi, 0, 0),
                            memory_space=pltpu.VMEM)
     entry = [
-        jnp.asarray(w.gn_w, jnp.float32), jnp.asarray(w.gn_b, jnp.float32),
+        jnp.asarray(w.gn_w, jnp.float32).reshape(bf, 1, c),
+        jnp.asarray(w.gn_b, jnp.float32).reshape(bf, 1, c),
         jnp.asarray(w.win, dtype), jnp.asarray(w.bin, jnp.float32).reshape(1, -1),
     ]
     blockw = [

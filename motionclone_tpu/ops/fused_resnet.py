@@ -148,7 +148,7 @@ def _kernel(
     hconv = _conv3x3(pad1, a1.astype(dtype), w1, h, wdt, cin, cout, lead, dtype)
     hconv = hconv + b1[...]
     if has_temb:
-        hconv = hconv + t_ref[...].astype(jnp.float32)
+        hconv = hconv + t_ref[0].astype(jnp.float32)
 
     a2 = _group_norm_silu(hconv, gn2_s[...], gn2_b[...], mavg2, mexp2, eps)
     out = _conv3x3(pad2, a2.astype(dtype), w2, h, wdt, cout, cout, lead, dtype)
@@ -212,10 +212,12 @@ def fused_resnet_block(
     lead = _lead(wdt)
 
     xr = x.reshape(b * f, h, wdt, cin)
+    # temb rows as (B, 1, Cout): Mosaic needs per-row blocks whose trailing
+    # dims equal the array's, so a (1, 1, Cout) block is legal for any B
     if has_temb:
-        t = jnp.asarray(temb_out, dtype)
+        t = jnp.asarray(temb_out, dtype).reshape(b, 1, cout)
     else:
-        t = jnp.zeros((b, cout), dtype)
+        t = jnp.zeros((b, 1, cout), dtype)
 
     def vec(a):  # 1D f32 params as (1, n) 2D VMEM blocks
         return jnp.asarray(a, jnp.float32).reshape(1, -1)
@@ -240,7 +242,7 @@ def fused_resnet_block(
     in_specs = [
         pl.BlockSpec((1, h, wdt, cin), lambda bi: (bi, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, cout), lambda bi: (bi // f, 0),
+        pl.BlockSpec((1, 1, cout), lambda bi: (bi // f, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [w_spec(a) for a in weights]
 

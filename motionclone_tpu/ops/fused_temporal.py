@@ -144,20 +144,18 @@ def _kernel(
     x = x_ref[0]  # (F, TS, C)
     xf = x.reshape(rows, c).astype(jnp.float32)
 
-    # GroupNorm affine (stats folded outside): per-frame w/b rows
-    gw = gnw_ref[0].reshape(f, 1, c)
-    gb = gnb_ref[0].reshape(f, 1, c)
-    h0 = x.astype(jnp.float32).reshape(f, tsz, c) * gw + gb
+    # GroupNorm affine (stats folded outside); ``gnw``/``gnb`` arrive
+    # pre-repeated to per-row (F*TS, C) — Mosaic supports the 3D->2D
+    # collapse above but not rank-expanding (F, C) -> (F, 1, C) casts
+    h0 = xf * gnw_ref[0] + gnb_ref[0]
 
-    h = _mm(h0.reshape(rows, c).astype(dtype), win[...]) + bin_[...]
+    h = _mm(h0.astype(dtype), win[...]) + bin_[...]
 
     for i in range(n_attn):
         ln_s, ln_b, wq, wk, wv, wo, bo = attn_w[i]
         hn = _ln(h, ln_s, ln_b)
         if has_pe:
-            hn = (
-                hn.reshape(f, tsz, c) + pe_ref[...].reshape(f, 1, c)
-            ).reshape(rows, c)
+            hn = hn + pe_ref[...]  # pre-repeated per-row (F*TS, C)
         hn = hn.astype(dtype)
         q = _mm(hn, wq[...]).astype(dtype)
         k = _mm(hn, wk[...]).astype(dtype)
@@ -204,7 +202,16 @@ def fused_temporal_module(
     def mat(a):
         return jnp.asarray(a, dtype)
 
-    pe = mat(w.pe) if has_pe else jnp.zeros((f, c), dtype)
+    rows = f * ts
+    # pre-repeat per-frame terms to per-row (kernel tiles pack (F, TS) rows;
+    # Mosaic has no rank-expanding reshape for an in-kernel broadcast)
+    pe = (
+        jnp.repeat(mat(w.pe), ts, axis=0)
+        if has_pe
+        else jnp.zeros((rows, c), dtype)
+    )
+    gn_w = jnp.repeat(jnp.asarray(w.gn_w, jnp.float32), ts, axis=1)
+    gn_b = jnp.repeat(jnp.asarray(w.gn_b, jnp.float32), ts, axis=1)
 
     weights = [mat(w.win), vec(w.bin)]
     for aw in w.attn:
@@ -224,9 +231,9 @@ def fused_temporal_module(
 
     x_spec = pl.BlockSpec((1, f, ts, c), lambda bi, si: (bi, 0, si, 0),
                           memory_space=pltpu.VMEM)
-    gn_spec = pl.BlockSpec((1, f, c), lambda bi, si: (bi, 0, 0),
+    gn_spec = pl.BlockSpec((1, rows, c), lambda bi, si: (bi, 0, 0),
                            memory_space=pltpu.VMEM)
-    pe_spec = pl.BlockSpec((f, c), lambda bi, si: (0, 0),
+    pe_spec = pl.BlockSpec((rows, c), lambda bi, si: (0, 0),
                            memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
@@ -253,8 +260,7 @@ def fused_temporal_module(
             transcendentals=b * s * f * f * heads,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x, jnp.asarray(w.gn_w, jnp.float32), jnp.asarray(w.gn_b, jnp.float32),
-      pe, *weights)
+    )(x, gn_w, gn_b, pe, *weights)
 
 
 def folded_groupnorm_affine(
