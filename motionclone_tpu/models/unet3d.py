@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from motionclone_tpu.config import UNet3DConfig
@@ -44,9 +45,20 @@ ProbsDict = Dict[str, jnp.ndarray]
 
 
 class UNet3DConditionModel(nn.Module):
+    """``post_guidance_cut``: index of the last guidance up block; when set,
+    later up blocks run under ``stop_gradient`` with ``post_guidance_impl``
+    kernels.  The guidance loss reads only the probs emitted at or before the
+    cut, so this changes no value and no gradient — it is the structural
+    analog of the reference's post-guidance ``torch.no_grad()`` split
+    (motionclone_functions.py:629-652), and it lets the differentiated UNet
+    run the forward-only fused Pallas kernels for the tail of the network.
+    """
+
     cfg: UNet3DConfig
     guidance_blocks: Tuple[str, ...] = ()
     attention_impl: str = "auto"
+    post_guidance_cut: Optional[int] = None
+    post_guidance_impl: str = "fused"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -170,6 +182,14 @@ class UNet3DConditionModel(nn.Module):
             block_skips = tuple(skips[-num_layers:])
             del skips[-num_layers:]
             use_mm = cfg.use_motion_module and (res in cfg.motion_module_resolutions)
+            post_cut = (
+                self.post_guidance_cut is not None and i > self.post_guidance_cut
+            )
+            if post_cut:
+                x = jax.lax.stop_gradient(x)
+                block_skips = tuple(
+                    jax.lax.stop_gradient(s) for s in block_skips
+                )
             common = dict(
                 out_channels=out_ch,
                 num_layers=num_layers,
@@ -181,7 +201,9 @@ class UNet3DConditionModel(nn.Module):
                 motion_module_cfg=cfg.motion_module,
                 path=f"up_blocks.{i}",
                 guidance_blocks=self.guidance_blocks,
-                attention_impl=self.attention_impl,
+                attention_impl=(
+                    self.post_guidance_impl if post_cut else self.attention_impl
+                ),
                 dtype=self.dtype,
             )
             if block_type == "CrossAttnUpBlock3D":

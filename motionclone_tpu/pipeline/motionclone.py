@@ -116,21 +116,26 @@ def make_sampling_fns(
         guided_attention_impl = (
             "grad-safe" if jax.default_backend() == "tpu" else attention_impl
         )
-    guided_unet = UNet3DConditionModel(
-        cfg=unet_cfg,
-        guidance_blocks=tuple(infer_cfg.motion_guidance_blocks),
-        attention_impl=guided_attention_impl,
-        dtype=dtype,
-    )
     plain_impl = attention_impl
     if attention_impl == "auto" and jax.default_backend() == "tpu":
         # non-differentiated passes run whole transformer blocks as single
         # Pallas kernels (ops/fused_block.py)
         plain_impl = "fused"
+    cut = guidance_cut_index(infer_cfg.motion_guidance_blocks)
+    guided_unet = UNet3DConditionModel(
+        cfg=unet_cfg,
+        guidance_blocks=tuple(infer_cfg.motion_guidance_blocks),
+        attention_impl=guided_attention_impl,
+        # up blocks past the last guidance block feed only the (aux)
+        # noise_pred, never the loss: run them stop-gradient with the
+        # forward-only fused kernels (reference's no_grad split, :629)
+        post_guidance_cut=cut if plain_impl == "fused" else None,
+        post_guidance_impl=plain_impl,
+        dtype=dtype,
+    )
     plain_unet = UNet3DConditionModel(
         cfg=unet_cfg, guidance_blocks=(), attention_impl=plain_impl, dtype=dtype
     )
-    cut = guidance_cut_index(infer_cfg.motion_guidance_blocks)
 
     timesteps = build_timesteps(
         infer_cfg.inference_steps,

@@ -128,3 +128,36 @@ def test_no_guidance_blocks_returns_empty_probs():
     out, probs = model.apply(params, sample, jnp.array([1]), ctx)
     assert out.shape == (B, F, H, W, 4)
     assert probs == {}
+
+
+def test_post_guidance_cut_preserves_values_and_grads(unet_and_params):
+    """post_guidance_cut stop-gradients the tail up blocks without changing
+    the noise prediction, the guidance loss, or its latent gradient
+    (reference's no_grad split, motionclone_functions.py:629-652)."""
+    model, params, cfg = unet_and_params
+    split_model = UNet3DConditionModel(
+        cfg=cfg, guidance_blocks=("up_blocks.1",),
+        post_guidance_cut=1, post_guidance_impl="xla",
+    )
+    rng = np.random.default_rng(2)
+    sample = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), dtype=jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 77, cfg.cross_attention_dim)), jnp.float32)
+
+    def loss_fn(m, lat):
+        pred, probs = m.apply(params, lat, jnp.array([500]), ctx)
+        loss = sum(jnp.sum(jnp.square(p)) for p in probs.values())
+        return loss, pred
+
+    (l_ref, pred_ref), g_ref = jax.value_and_grad(
+        lambda lat: loss_fn(model, lat), has_aux=True
+    )(sample)
+    (l_cut, pred_cut), g_cut = jax.value_and_grad(
+        lambda lat: loss_fn(split_model, lat), has_aux=True
+    )(sample)
+    np.testing.assert_allclose(np.asarray(l_cut), np.asarray(l_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(pred_cut), np.asarray(pred_ref), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_cut), np.asarray(g_ref), atol=1e-5, rtol=1e-5
+    )
