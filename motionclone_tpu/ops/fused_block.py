@@ -93,8 +93,20 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * (2.0**-0.5)))
 
 
+# Maxless softmax: logits are clamped to +-LOGIT_CLIP instead of row-max
+# subtracted.  Exact whenever |logits| <= 75 (f32 exp is finite to ~88 and
+# the 4096-term sum stays < 3e36); beyond that the distribution flattens
+# gracefully instead of overflowing.  LN-normalized q/k with scale 1/sqrt(d)
+# keep |logits| well under 50 in practice; the max reduction this removes
+# cost ~40% of the attention time on v5e (measured, PERF.md).
+LOGIT_CLIP = 75.0
+
+
 def _attend(q, k, v, heads, scale, dtype):
-    """q: (BQ, C), k/v: (SK, C); per-head softmax attention -> (BQ, C)."""
+    """q: (BQ, C), k/v: (SK, C); per-head attention -> (BQ, C), row-major.
+
+    Clipped maxless softmax; the 1/sum normalizer is folded into the (BQ, d)
+    output instead of dividing the (BQ, SK) probability tile."""
     c = q.shape[-1]
     d = c // heads
     outs = []
@@ -104,11 +116,41 @@ def _attend(q, k, v, heads, scale, dtype):
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
-        outs.append(_mm(p, v[:, sl]))
+        e = jnp.exp(jnp.clip(logits, -LOGIT_CLIP, LOGIT_CLIP))
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(_mm(e.astype(dtype), v[:, sl]) * r)
     return jnp.concatenate(outs, axis=-1).astype(dtype)
+
+
+def _attend_self_t(q, k_ref, vt_ref, heads, scale, dtype):
+    """Whole-sequence self attention, channels-major internals.
+
+    ``q``: (BQ, C) row-major; ``k_ref``: (S, C); ``vt_ref``: (C, S) —
+    V pre-transposed once per frame.  Computing ``logits^T = k @ q^T`` keeps
+    the unavoidable head_dim-padded contraction, but ``out^T = v^T @ p``
+    then contracts over S at full MXU efficiency (head_dim = 40 pads the
+    128-wide MXU K dim 3.2x in the row-major form; measured 11.4 -> 6.0 ms
+    per 64x64x16f call with the clipped softmax).  Returns (BQ, C).
+    """
+    c = q.shape[-1]
+    d = c // heads
+    outs = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits_t = jax.lax.dot_general(
+            k_ref[:, sl], q[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (S, BQ)
+        e = jnp.exp(jnp.clip(logits_t, -LOGIT_CLIP, LOGIT_CLIP))
+        r = 1.0 / jnp.sum(e, axis=0, keepdims=True)  # (1, BQ)
+        o_t = jax.lax.dot_general(
+            vt_ref[sl, :], e.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d, BQ)
+        outs.append(o_t * r)
+    return jnp.transpose(
+        jnp.concatenate(outs, axis=0), (1, 0)
+    ).astype(dtype)
 
 
 def _kernel(
@@ -117,7 +159,7 @@ def _kernel(
     ln2_s, ln2_b, wq2, wk2, wv2, wo2, bo2,
     ln3_s, ln3_b, wff1, bff1, wff2, bff2,
     y_ref,
-    k_scr, v_scr, k2_scr, v2_scr,
+    k_scr, vt_scr, k2_scr, v2_scr,
     *, heads: int, scale: float,
 ):
     qi = pl.program_id(1)
@@ -127,7 +169,9 @@ def _kernel(
     def _():
         xn_full = _ln(xf_ref[0], ln1_s, ln1_b, dtype)
         k_scr[...] = _mm(xn_full, wk1[...]).astype(dtype)
-        v_scr[...] = _mm(xn_full, wv1[...]).astype(dtype)
+        vt_scr[...] = jnp.transpose(
+            _mm(xn_full, wv1[...]).astype(dtype), (1, 0)
+        )
         ctx = ctx_ref[0]
         k2_scr[...] = _mm(ctx, wk2[...]).astype(dtype)
         v2_scr[...] = _mm(ctx, wv2[...]).astype(dtype)
@@ -137,7 +181,7 @@ def _kernel(
     # ---- attn1: self attention ----
     xn = _ln(xt, ln1_s, ln1_b, dtype)
     q = _mm(xn, wq1[...]).astype(dtype)
-    attn = _attend(q, k_scr[...], v_scr[...], heads, scale, dtype)
+    attn = _attend_self_t(q, k_scr[...], vt_scr, heads, scale, dtype)
     x1 = (xt.astype(jnp.float32) + _mm(attn, wo1[...]) + bo1[...]).astype(dtype)
 
     # ---- attn2: cross attention over the text tokens ----
@@ -190,7 +234,7 @@ def _transformer_kernel(
     ln3_s, ln3_b, wff1, bff1, wff2, bff2,
     wout, bout,
     y_ref,
-    h_scr, k_scr, v_scr, k2_scr, v2_scr,
+    h_scr, k_scr, vt_scr, k2_scr, v2_scr,
     *, heads: int, scale: float,
 ):
     """Whole Transformer3DModel: GN-affine -> proj_in -> block -> proj_out
@@ -207,7 +251,9 @@ def _transformer_kernel(
         h_scr[...] = h_full.astype(dtype)
         hn_full = _ln(h_scr[...], ln1_s, ln1_b, dtype)
         k_scr[...] = _mm(hn_full, wk1[...]).astype(dtype)
-        v_scr[...] = _mm(hn_full, wv1[...]).astype(dtype)
+        vt_scr[...] = jnp.transpose(
+            _mm(hn_full, wv1[...]).astype(dtype), (1, 0)
+        )
         ctx = ctx_ref[0]
         k2_scr[...] = _mm(ctx, wk2[...]).astype(dtype)
         v2_scr[...] = _mm(ctx, wv2[...]).astype(dtype)
@@ -217,7 +263,7 @@ def _transformer_kernel(
     # ---- attn1: self attention ----
     xn = _ln(xt, ln1_s, ln1_b, dtype)
     q = _mm(xn, wq1[...]).astype(dtype)
-    attn = _attend(q, k_scr[...], v_scr[...], heads, scale, dtype)
+    attn = _attend_self_t(q, k_scr[...], vt_scr, heads, scale, dtype)
     x1 = (xt.astype(jnp.float32) + _mm(attn, wo1[...]) + bo1[...]).astype(dtype)
 
     # ---- attn2: cross attention over the text tokens ----
@@ -302,7 +348,7 @@ def fused_spatial_transformer(
         scratch_shapes=[
             pltpu.VMEM((s, c), dtype),
             pltpu.VMEM((s, c), dtype),
-            pltpu.VMEM((s, c), dtype),
+            pltpu.VMEM((c, s), dtype),  # V^T for the transposed attention
             pltpu.VMEM((t, c), dtype),
             pltpu.VMEM((t, c), dtype),
         ],
@@ -366,7 +412,7 @@ def fused_transformer_block(
         out_shape=jax.ShapeDtypeStruct((bf, s, c), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((s, c), x.dtype),
-            pltpu.VMEM((s, c), x.dtype),
+            pltpu.VMEM((c, s), x.dtype),  # V^T for the transposed attention
             pltpu.VMEM((t, c), x.dtype),
             pltpu.VMEM((t, c), x.dtype),
         ],

@@ -104,8 +104,17 @@ def _pixel_mask(rows: int, ts: int) -> jnp.ndarray:
     return (r % ts) == (c % ts)
 
 
+LOGIT_CLIP = 75.0
+
+
 def _attend(q, k, v, heads, scale, ts, dtype):
-    """Per-pixel masked attention over packed (rows, C) tiles."""
+    """Per-pixel masked attention over packed (rows, C) tiles.
+
+    Maxless softmax: logits clamped to +-LOGIT_CLIP (exact for |logits| <=
+    75, graceful flattening beyond — see ops/fused_block.py); cross-pixel
+    entries are zeroed *after* the exp so masking is exact regardless of
+    clipping, and the 1/sum normalizer is folded into the (rows, d) output.
+    The row-max reduction this removes is ~40% of attention time on v5e."""
     rows, c = q.shape
     d = c // heads
     mask = _pixel_mask(rows, ts)
@@ -116,11 +125,14 @@ def _attend(q, k, v, heads, scale, ts, dtype):
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        logits = jnp.where(mask, logits, NEG_INF)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
-        outs.append(jnp.dot(p, v[:, sl], preferred_element_type=jnp.float32))
+        e = jnp.where(
+            mask, jnp.exp(jnp.clip(logits, -LOGIT_CLIP, LOGIT_CLIP)), 0.0
+        )
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(
+            jnp.dot(e.astype(dtype), v[:, sl],
+                    preferred_element_type=jnp.float32) * r
+        )
     return jnp.concatenate(outs, axis=-1)
 
 

@@ -8,6 +8,8 @@ latency excluded), with varying input so dispatches are not deduped.
 import os
 import time
 
+import sys, os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,6 +7,8 @@ Usage: python scripts/dump_hlo.py [names...]
 import os
 import sys
 
+import sys, os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 

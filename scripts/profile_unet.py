@@ -16,6 +16,8 @@ import json
 import os
 import sys
 
+import sys, os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,7 +49,8 @@ t = jnp.asarray(400)
 if MODE == "guided":
     unet = UNet3DConditionModel(
         cfg=unet_cfg, guidance_blocks=("up_blocks.1",),
-        attention_impl="grad-safe", dtype=dtype,
+        attention_impl="grad-safe", post_guidance_cut=1,
+        post_guidance_impl="fused", dtype=dtype,
     )
 else:
     unet = UNet3DConditionModel(
@@ -64,10 +67,7 @@ params = unet.init(rng, lat_init, t, emb_init)
 print("params initialized", flush=True)
 
 if MODE == "guided":
-    gunet = UNet3DConditionModel(
-        cfg=unet_cfg, guidance_blocks=("up_blocks.1",),
-        attention_impl="grad-safe", dtype=dtype,
-    )
+    gunet = unet
 
     @jax.jit
     def _probs0(params, latents, tt):
