@@ -34,7 +34,6 @@ from motionclone_tpu.ops.fused_block import (
     fused_transformer_block,
     supported as fused_block_supported,
 )
-from motionclone_tpu.ops.fused_temporal import folded_groupnorm_affine
 
 
 class CrossAttention(nn.Module):
@@ -240,18 +239,13 @@ class Transformer3DModel(nn.Module):
             and inner == c
             and fused_block_supported(hh * ww, inner, self.heads)
         ):
-            # whole Transformer3DModel (GN-affine -> proj_in -> block ->
-            # proj_out -> +residual) as one Pallas kernel; GroupNorm stats
-            # are one cheap XLA reduction outside
+            # whole Transformer3DModel (GN with in-kernel per-frame stats
+            # -> proj_in -> block -> proj_out -> +residual) as one Pallas
+            # kernel — one HBM read of the activation, one write
             p = lambda name: self.get_variable("params", name)
-            xs = x.reshape(b, f, hh * ww, c)
-            gw, gb = folded_groupnorm_affine(
-                xs, self.norm_num_groups, 1e-6,
-                p("norm")["scale"], p("norm")["bias"],
-            )
             w = TransformerWeights(
-                gn_w=gw.reshape(b * f, c),
-                gn_b=gb.reshape(b * f, c),
+                gn_scale=p("norm")["scale"],
+                gn_bias=p("norm")["bias"],
                 win=p("proj_in")["kernel"].reshape(c, inner),
                 bin=p("proj_in")["bias"],
                 block=self._block_weights("transformer_blocks_0"),
@@ -260,8 +254,8 @@ class Transformer3DModel(nn.Module):
             )
             ctx = jnp.repeat(context, f, axis=0).astype(self.dtype)
             out = fused_spatial_transformer(
-                xs.reshape(b * f, hh * ww, c).astype(self.dtype), ctx, w,
-                heads=self.heads,
+                x.reshape(b * f, hh * ww, c).astype(self.dtype), ctx, w,
+                heads=self.heads, groups=self.norm_num_groups,
             )
             return out.reshape(b, f, hh, ww, c)
 

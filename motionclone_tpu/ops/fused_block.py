@@ -212,13 +212,14 @@ def supported(s: int, c: int, heads: int, block_q: int = DEFAULT_BQ) -> bool:
 class TransformerWeights(NamedTuple):
     """Entry/exit of a whole Transformer3DModel around one block.
 
-    ``gn_w``/``gn_b``: (B*F, C) per-frame folded GroupNorm affine (stats
-    computed outside, see ops/fused_temporal.folded_groupnorm_affine);
+    ``gn_scale``/``gn_bias``: raw per-channel GroupNorm params (C,) — the
+    per-frame statistics are computed inside the kernel from the resident
+    frame (InflatedGroupNorm semantics, reference resnet.py:21-29);
     ``win``/``wout``: the 1x1 proj_in / proj_out convs as (C, C) matrices.
     """
 
-    gn_w: jnp.ndarray
-    gn_b: jnp.ndarray
+    gn_scale: jnp.ndarray
+    gn_bias: jnp.ndarray
     win: jnp.ndarray
     bin: jnp.ndarray
     block: BlockWeights
@@ -228,25 +229,39 @@ class TransformerWeights(NamedTuple):
 
 def _transformer_kernel(
     xt_ref, xf_ref, ctx_ref,
-    gnw, gnb, win, bin_,
+    gn_s, gn_b, mavg, mexp, win, bin_,
     ln1_s, ln1_b, wq1, wk1, wv1, wo1, bo1,
     ln2_s, ln2_b, wq2, wk2, wv2, wo2, bo2,
     ln3_s, ln3_b, wff1, bff1, wff2, bff2,
     wout, bout,
     y_ref,
     h_scr, k_scr, vt_scr, k2_scr, v2_scr,
-    *, heads: int, scale: float,
+    *, heads: int, scale: float, eps: float,
 ):
-    """Whole Transformer3DModel: GN-affine -> proj_in -> block -> proj_out
+    """Whole Transformer3DModel: GN -> proj_in -> block -> proj_out
     -> +residual.  ``h_scr`` caches the frame's projected hidden states so
-    K/V and every query tile read the identical values."""
+    K/V and every query tile read the identical values.  The per-frame
+    GroupNorm statistics are computed in-kernel from the resident frame
+    (lane-aligned per-channel moments combined through the tiny constant
+    ``mavg``/``mexp`` matrices — no extra HBM pass over the activation)."""
     qi = pl.program_id(1)
     dtype = xt_ref.dtype
     bq = xt_ref.shape[1]
 
     @pl.when(qi == 0)
     def _():
-        xn = xf_ref[0].astype(jnp.float32) * gnw[0] + gnb[0]
+        xf = xf_ref[0].astype(jnp.float32)
+        s1 = jnp.mean(xf, axis=0, keepdims=True)             # (1, C)
+        s2 = jnp.mean(jnp.square(xf), axis=0, keepdims=True)
+        g1 = jnp.dot(s1, mavg[...], preferred_element_type=jnp.float32)
+        g2 = jnp.dot(s2, mavg[...], preferred_element_type=jnp.float32)
+        var = jnp.maximum(g2 - jnp.square(g1), 0.0)
+        rstd = jax.lax.rsqrt(var + eps)                      # (1, G)
+        mean_c = jnp.dot(g1, mexp[...], preferred_element_type=jnp.float32)
+        rstd_c = jnp.dot(rstd, mexp[...], preferred_element_type=jnp.float32)
+        gw = rstd_c * gn_s[...]
+        gb = gn_b[...] - mean_c * gw
+        xn = xf * gw + gb
         h_full = _mm(xn.astype(dtype), win[...]) + bin_[...]
         h_scr[...] = h_full.astype(dtype)
         hn_full = _ln(h_scr[...], ln1_s, ln1_b, dtype)
@@ -290,12 +305,15 @@ def fused_spatial_transformer(
     w: TransformerWeights,
     *,
     heads: int,
+    groups: int,
+    eps: float = 1e-6,
     block_q: int = DEFAULT_BQ,
 ) -> jnp.ndarray:
     """Run a whole single-layer Transformer3DModel over (BF, S, C) with text
-    context (BF, T, ctx_dim); GroupNorm statistics are folded into
-    ``w.gn_w``/``w.gn_b`` by the caller.  Check :func:`supported` first.
-    Forward-only."""
+    context (BF, T, ctx_dim); the per-frame GroupNorm (stats included) runs
+    inside the kernel.  Check :func:`supported` first.  Forward-only."""
+    from motionclone_tpu.ops.fused_resnet import _group_matrices
+
     bf, s, c = x.shape
     t = ctx.shape[1]
     if not supported(s, c, heads, block_q):
@@ -310,14 +328,11 @@ def fused_spatial_transformer(
                             memory_space=pltpu.VMEM)
 
     dtype = x.dtype
-    # per-row blocks must keep trailing dims equal to the array's (Mosaic
-    # requires block (..., m, n) with m % 8 == 0 or m == dim): carry the
-    # per-frame GN affine as (BF, 1, C) so the (1, 1, C) block is legal
-    gn_spec = pl.BlockSpec((1, 1, c), lambda bi, qi: (bi, 0, 0),
-                           memory_space=pltpu.VMEM)
+    mavg, mexp = _group_matrices(c, groups)
     entry = [
-        jnp.asarray(w.gn_w, jnp.float32).reshape(bf, 1, c),
-        jnp.asarray(w.gn_b, jnp.float32).reshape(bf, 1, c),
+        jnp.asarray(w.gn_scale, jnp.float32).reshape(1, -1),
+        jnp.asarray(w.gn_bias, jnp.float32).reshape(1, -1),
+        mavg, mexp,
         jnp.asarray(w.win, dtype), jnp.asarray(w.bin, jnp.float32).reshape(1, -1),
     ]
     blockw = [
@@ -335,11 +350,12 @@ def fused_spatial_transformer(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, ctx.shape[-1]), lambda bi, qi: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
-        gn_spec, gn_spec, w_spec(entry[2]), w_spec(entry[3]),
-    ] + [w_spec(a) for a in blockw] + [w_spec(a) for a in exit_w]
+    ] + [w_spec(a) for a in entry + blockw + exit_w]
 
     return pl.pallas_call(
-        functools.partial(_transformer_kernel, heads=heads, scale=scale),
+        functools.partial(
+            _transformer_kernel, heads=heads, scale=scale, eps=eps
+        ),
         grid=(bf, nq),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, c), lambda bi, qi: (bi, qi, 0),
