@@ -324,7 +324,117 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         ).astype(dv_ref.dtype)
 
 
+def _bwd_whole_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                      dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                      *, scale: float, heads: int):
+    """Whole-sequence-KV merged backward: dq, dk, dv in one pass.
+
+    The split dq / dkv kernels each recompute the head_dim-padded logits
+    and dp dots; merging them halves the padded MXU work and the exp.
+    Everything runs channels-major: s^T = k @ q^T and dp^T = v @ do^T keep
+    the unavoidable head_dim contraction, while dq/dk/dv all contract over
+    S or BQ at full MXU efficiency."""
+    qi = pl.program_id(1)
+    nq = pl.num_programs(1)
+    hd = q_ref.shape[-1]
+    d = hd // heads
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    out = o_ref[0]
+    dqs = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s_t = jax.lax.dot_general(
+            k[:, sl], q[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (SK, BQ)
+        p_t = jnp.exp(
+            jnp.clip(s_t, -LOGIT_CLIP, LOGIT_CLIP) - lse_ref[0, h][None, :]
+        )
+        doh = do[:, sl].astype(jnp.float32)
+        dp_t = jax.lax.dot_general(
+            v[:, sl], do[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (SK, BQ)
+        delta = jnp.sum(
+            doh * out[:, sl].astype(jnp.float32), axis=-1
+        )  # (BQ,)
+        ds_t = (p_t * (dp_t - delta[None, :]) * scale).astype(q.dtype)
+        dqs.append(jax.lax.dot_general(
+            ds_t, k[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))  # (BQ, d), contraction over SK
+        dk_scr[h] += jax.lax.dot_general(
+            ds_t, q[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (SK, d), contraction over BQ
+        dv_scr[h] += jax.lax.dot_general(
+            p_t.astype(do.dtype), do[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = jnp.concatenate(
+            [dk_scr[h] for h in range(heads)], axis=-1
+        ).astype(dk_ref.dtype)
+        dv_ref[0] = jnp.concatenate(
+            [dv_scr[h] for h in range(heads)], axis=-1
+        ).astype(dv_ref.dtype)
+
+
+def _flash_bwd_whole(q, k, v, out, lse, do, scale, heads, block_q):
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    bq = min(block_q, sq)
+    nq = pl.cdiv(sq, bq)
+    q_blk = pl.BlockSpec((1, bq, hd), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kv_blk = pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((1, heads, bq), lambda bi, qi: (bi, 0, qi),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd_whole_kernel, scale=scale, heads=heads),
+        grid=(b, nq),
+        in_specs=[q_blk, kv_blk, kv_blk, q_blk, q_blk, lse_blk],
+        out_specs=[q_blk, kv_blk, kv_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, sk, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, sk, hd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((heads, sk, hd // heads), jnp.float32),
+            pltpu.VMEM((heads, sk, hd // heads), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * sq * sk * hd,
+            bytes_accessed=4 * b * (sq + sk) * hd * q.dtype.itemsize,
+            transcendentals=b * heads * sq * sk,
+        ),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(q, k, v, do, out, lse)
+
+
 def _flash_bwd(q, k, v, out, lse, do, scale, heads, block_q, block_k):
+    sk = k.shape[1]
+    hd = k.shape[-1]
+    # whole-KV merged backward whenever K/V + f32 dk/dv accumulators fit
+    # VMEM comfortably (covers every MotionClone spatial shape)
+    if sk * hd <= 2 * 1024 * 1024:
+        return _flash_bwd_whole(q, k, v, out, lse, do, scale, heads,
+                                DEFAULT_WHOLE_BQ)
     b, sq, hd = q.shape
     sk = k.shape[1]
     d = hd // heads
