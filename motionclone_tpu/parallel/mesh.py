@@ -36,6 +36,31 @@ def make_mesh(
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
+def make_mesh_2d(
+    data: int, cfg: int = 2, devices: Optional[Sequence] = None
+) -> Mesh:
+    """A (data, cfg) mesh: examples shard over ``data``, and the vanilla
+    phase's classifier-free-guidance pair (uncond/cond UNet evaluations,
+    reference motionclone_functions.py:248-253) splits over ``cfg`` —
+    the two additive parallel axes of SURVEY §2.5.  Adjacent device pairs
+    form the ``cfg`` groups so the pair's concat/split rides one ICI hop.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = data * cfg
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(
+        np.asarray(devices[:n]).reshape(data, cfg), axis_names=("data", "cfg")
+    )
+
+
+def cfg_pair_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for ``[uncond-block, cond-block]`` batch-2B tensors: the
+    leading axis splits cfg-major (the two halves) then data (examples)."""
+    return NamedSharding(mesh, P(("cfg", "data")))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch / example) axis over ``data``."""
     return NamedSharding(mesh, P("data"))

@@ -101,12 +101,19 @@ def make_sampling_fns(
     guided_attention_impl: Optional[str] = None,
     remat_guided: bool = False,
     controlnet_apply: Optional[Callable] = None,
+    cfg_pair_sharding=None,
 ) -> SamplingFns:
     """Build the jitted extract/sample functions for one workload config.
 
     ``controlnet_apply(params_cn, noisy_latents, t, text_emb) ->
     (down_residuals, mid_residual)`` is an optional hook for the i2v
     workloads (SparseCtrl); None for t2v.
+
+    ``cfg_pair_sharding``: optional ``NamedSharding`` (see
+    parallel.mesh.cfg_pair_sharding) constraining the vanilla phase's
+    batch-2B ``[uncond, cond]`` tensors so the CFG pair splits over the
+    mesh's ``cfg`` axis — XLA then runs the two UNet evaluations on
+    separate chips and recombines the pair over ICI (SURVEY §2.5).
     """
     ddim = make_ddim_params(sched_cfg)
     if guided_attention_impl is None:
@@ -263,6 +270,11 @@ def make_sampling_fns(
             )
             return new_latents, loss
 
+        def pair_constrain(x):
+            if cfg_pair_sharding is None or x is None:
+                return x
+            return jax.lax.with_sharding_constraint(x, cfg_pair_sharding)
+
         def vanilla_step(latents, step):
             t, tp = step
             cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
@@ -270,19 +282,23 @@ def make_sampling_fns(
                 down_res, mid_res = None, None
             else:
                 down_res = tuple(
-                    jnp.concatenate([u, c], axis=0) for u, c in zip(cn_u[0], cn_c[0])
+                    pair_constrain(jnp.concatenate([u, c], axis=0))
+                    for u, c in zip(cn_u[0], cn_c[0])
                 )
-                mid_res = jnp.concatenate([cn_u[1], cn_c[1]], axis=0)
+                mid_res = pair_constrain(
+                    jnp.concatenate([cn_u[1], cn_c[1]], axis=0)
+                )
             b = latents.shape[0]
-            lat2 = jnp.concatenate([latents, latents], axis=0)
+            lat2 = pair_constrain(jnp.concatenate([latents, latents], axis=0))
             pred2, _ = plain_unet.apply(
                 params,
                 lat2,
                 t,
-                emb_pair,
+                pair_constrain(emb_pair),
                 down_block_residuals=down_res,
                 mid_block_residual=mid_res,
             )
+            pred2 = pair_constrain(pred2)
             uncond_pred, cond_pred = pred2[:b], pred2[b:]
             noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
             new_latents = ddim_step(ddim, noise_pred, t, tp, latents)

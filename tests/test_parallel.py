@@ -101,3 +101,72 @@ def test_sharded_batch_matches_per_example():
         out.block_until_ready()
     assert out.sharding.is_equivalent_to(batch_sharding(mesh), out.ndim)
     np.testing.assert_allclose(np.asarray(out), singles, atol=2e-4, rtol=1e-3)
+
+
+def test_cfg_pair_sharding_matches_data_only():
+    """(data, cfg) 2-axis mesh: the vanilla CFG pair split over ``cfg``
+    reproduces the data-parallel-only result."""
+    from motionclone_tpu.parallel.mesh import cfg_pair_sharding, make_mesh_2d
+
+    unet_cfg = tiny_unet_config()
+    sched_cfg = NoiseScheduleConfig()
+    infer_cfg = InferenceConfig(
+        inference_steps=3,
+        guidance_steps=1,
+        guidance_fraction=0.3,
+        warm_up_steps=1,
+        cool_up_steps=0,
+        motion_guidance_weight=50.0,
+        motion_guidance_blocks=("up_blocks.1",),
+        width=W * 8,
+        height=H * 8,
+        video_length=F,
+    )
+    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
+    sample0 = jnp.zeros((1, F, H, W, 4))
+    ctx0 = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
+
+    rng = np.random.default_rng(1)
+    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    uncond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    s_hw = (H // 4) * (W // 4)
+    heads = unet_cfg.motion_module.num_attention_heads
+    rep = {}
+    for m in range(2):
+        for a in range(2):
+            name = (
+                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
+                f".transformer_blocks.0.attention_blocks.{a}"
+            )
+            rep[name] = (
+                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, heads, F, 1)), jnp.float32),
+                jnp.asarray(rng.integers(0, F, size=(B, s_hw, heads, F, 1)), np.uint8),
+            )
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    )
+    ref = np.asarray(
+        fns_ref.sample(params, latents, uncond, cond, rep, None, None)
+    )
+
+    mesh = make_mesh_2d(data=4, cfg=2)
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        cfg_pair_sharding=cfg_pair_sharding(mesh),
+    )
+    p = shard_params(params, mesh)
+    with mesh:
+        out = fns.sample(
+            p,
+            shard_batch(latents, mesh),
+            shard_batch(uncond, mesh),
+            shard_batch(cond, mesh),
+            jax.tree_util.tree_map(lambda a: shard_batch(a, mesh), rep),
+            None,
+            None,
+        )
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
