@@ -59,7 +59,9 @@ class ResnetBlock3D(nn.Module):
             and self.use_inflated_groupnorm
             and self.output_scale_factor == 1.0
             and fused_resnet_supported(
-                x.shape, self.out_channels, self.groups, self.time_embedding_norm
+                x.shape, self.out_channels, self.groups,
+                self.time_embedding_norm,
+                itemsize=jnp.dtype(self.dtype).itemsize,
             )
         ):
             t_out = None

@@ -93,7 +93,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     v = v_ref[0]
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        s = _dot_nt(q[:, sl], k[:, sl]) * scale  # (BQ, BK) f32
+        # clip to match the backward recompute: the op is defined as
+        # softmax(clip(logits)) everywhere, so fwd/bwd stay consistent
+        s = jnp.clip(
+            _dot_nt(q[:, sl], k[:, sl]) * scale, -LOGIT_CLIP, LOGIT_CLIP
+        )  # (BQ, BK) f32
         m_prev = m_scr[h]                        # (BQ,)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
         corr = jnp.exp(m_prev - m_new)
@@ -159,6 +163,8 @@ def _flash_fwd_whole(
     b, sq, hd = q.shape
     sk = k.shape[1]
     bq = min(block_q, sq)
+    while sq % bq:  # partial final tiles would read undefined padded rows
+        bq //= 2
     nq = pl.cdiv(sq, bq)
     return pl.pallas_call(
         functools.partial(_fwd_whole_kernel, scale=scale, heads=heads),
@@ -395,7 +401,11 @@ def _bwd_whole_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 def _flash_bwd_whole(q, k, v, out, lse, do, scale, heads, block_q):
     b, sq, hd = q.shape
     sk = k.shape[1]
+    # bq must divide sq exactly: a partial final tile would feed undefined
+    # padded q/do/lse rows into the shared dk/dv accumulators
     bq = min(block_q, sq)
+    while sq % bq:
+        bq //= 2
     nq = pl.cdiv(sq, bq)
     q_blk = pl.BlockSpec((1, bq, hd), lambda bi, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM)

@@ -105,7 +105,10 @@ LOGIT_CLIP = 75.0
 def _attend(q, k, v, heads, scale, dtype):
     """q: (BQ, C), k/v: (SK, C); per-head attention -> (BQ, C), row-major.
 
-    Clipped maxless softmax; the 1/sum normalizer is folded into the (BQ, d)
+    Used for cross-attention, whose keys come from raw (un-normalized) CLIP
+    hidden states — no magnitude bound holds there, so keep the exact
+    max-subtracted softmax; with SK = 77 text tokens the row-max reduction
+    is negligible.  The 1/sum normalizer is still folded into the (BQ, d)
     output instead of dividing the (BQ, SK) probability tile."""
     c = q.shape[-1]
     d = c // heads
@@ -116,7 +119,8 @@ def _attend(q, k, v, heads, scale, dtype):
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        e = jnp.exp(jnp.clip(logits, -LOGIT_CLIP, LOGIT_CLIP))
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
         r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
         outs.append(_mm(e.astype(dtype), v[:, sl]) * r)
     return jnp.concatenate(outs, axis=-1).astype(dtype)

@@ -171,9 +171,13 @@ def _lead(wdt: int) -> int:
 
 
 def supported(
-    x_shape, cout: int, groups: int, time_embedding_norm: str = "default"
+    x_shape, cout: int, groups: int, time_embedding_norm: str = "default",
+    itemsize: int = 2,
 ) -> bool:
-    """Whether the fused kernel can run this block (else: unfused path)."""
+    """Whether the fused kernel can run this block (else: unfused path).
+
+    ``itemsize``: bytes per element of the compute dtype (2 for bf16, 4 for
+    f32) — the VMEM estimates scale with it."""
     if len(x_shape) != 5:
         return False
     _, _, h, w, cin = x_shape
@@ -183,11 +187,13 @@ def supported(
         return False
     if cin % 8 or cout % 8 or w % 8 or h < 3 or w < 3:
         return False
-    weight_bytes = (9 * cin * cout + 9 * cout * cout + cin * cout) * 2
+    weight_bytes = (9 * cin * cout + 9 * cout * cout + cin * cout) * itemsize
     if weight_bytes > MAX_WEIGHT_BYTES:
         return False
     # frame + two padded copies + f32 accumulators must fit VMEM comfortably
-    frame_bytes = (h * w + 2 * w + 16) * (cin + cout) * 2 + h * w * cout * 4
+    frame_bytes = (
+        (h * w + 2 * w + 16) * (cin + cout) * itemsize + h * w * cout * 4
+    )
     return frame_bytes < 24 * 1024 * 1024
 
 

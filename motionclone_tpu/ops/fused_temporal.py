@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
+from motionclone_tpu.ops.fused_block import LOGIT_CLIP, _gelu_exact, _mm
+
 TILE_SPATIAL = 16
 LN_EPS = 1e-5
 MAX_CHANNELS = 640  # weight residency budget (18*C^2 bf16 <= ~15 MB)
@@ -81,30 +82,10 @@ def _ln(hf, scale_ref, bias_ref):
     return (hf - mean) * rstd * scale_ref[...] + bias_ref[...]
 
 
-def _erf(x):
-    """A&S 7.1.26 rational erf (Mosaic lowers no erf)."""
-    a1, a2, a3, a4, a5 = (
-        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
-    )
-    p = 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _gelu_exact(x):
-    return 0.5 * x * (1.0 + _erf(x * (2.0**-0.5)))
-
-
 def _pixel_mask(rows: int, ts: int) -> jnp.ndarray:
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
     return (r % ts) == (c % ts)
-
-
-LOGIT_CLIP = 75.0
 
 
 def _attend(q, k, v, heads, scale, ts, dtype):
@@ -134,10 +115,6 @@ def _attend(q, k, v, heads, scale, ts, dtype):
                     preferred_element_type=jnp.float32) * r
         )
     return jnp.concatenate(outs, axis=-1)
-
-
-def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
 def _kernel(
