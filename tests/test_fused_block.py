@@ -135,3 +135,34 @@ def test_fused_whole_transformer_multi_tile():
     out = make("fused").apply(params, x, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_clipped_softmax_edges():
+    """Self-attention logit clipping: exact within +-75, finite (flattened,
+    never NaN) beyond, and cross-attention stays exact at any magnitude."""
+    from motionclone_tpu.models.attention import Transformer3DModel
+
+    rng = np.random.default_rng(5)
+    b, f, hh, ww = 1, 1, 8, 16
+    # scale activations hard to push self-attention logits to huge values
+    x = jnp.asarray(rng.normal(size=(b, f, hh, ww, C)) * 50.0, jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(b, T, CTX_DIM)) * 50.0, jnp.float32)
+
+    def make(impl):
+        return Transformer3DModel(
+            heads=HEADS, dim_head=C // HEADS, num_layers=1,
+            cross_attention_dim=CTX_DIM, norm_num_groups=8,
+            attention_impl=impl, dtype=jnp.float32,
+        )
+
+    params = make("xla").init(jax.random.PRNGKey(0), x, ctx)
+    out = make("fused").apply(params, x, ctx)
+    assert bool(jnp.all(jnp.isfinite(out))), "clipped softmax must not NaN"
+
+    # moderate inputs (LN keeps logits far below the clip): exact match
+    x2 = jnp.asarray(rng.normal(size=(b, f, hh, ww, C)), jnp.float32)
+    ctx2 = jnp.asarray(rng.normal(size=(b, T, CTX_DIM)), jnp.float32)
+    ref = make("xla").apply(params, x2, ctx2)
+    got = make("fused").apply(params, x2, ctx2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
