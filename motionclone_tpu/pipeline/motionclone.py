@@ -110,10 +110,14 @@ def make_sampling_fns(
     workloads (SparseCtrl); None for t2v.
 
     ``cfg_pair_sharding``: optional ``NamedSharding`` (see
-    parallel.mesh.cfg_pair_sharding) constraining the vanilla phase's
-    batch-2B ``[uncond, cond]`` tensors so the CFG pair splits over the
-    mesh's ``cfg`` axis — XLA then runs the two UNet evaluations on
-    separate chips and recombines the pair over ICI (SURVEY §2.5).
+    parallel.mesh.cfg_pair_sharding) constraining batch-2B ``[uncond,
+    cond]`` tensors so the CFG pair splits over the mesh's ``cfg`` axis —
+    XLA then runs the two UNet evaluations on separate chips and recombines
+    the pair over ICI (SURVEY §2.5).  This applies to both phases: the
+    vanilla batch-2 forward, and the guided step, which switches to a
+    batch-2 pair form (``guided_step_pair``) so the conditional
+    forward+backward and the unconditional forward overlap across the
+    ``cfg`` groups instead of running serially on every chip.
     """
     ddim = make_ddim_params(sched_cfg)
     if guided_attention_impl is None:
@@ -274,6 +278,60 @@ def make_sampling_fns(
             if cfg_pair_sharding is None or x is None:
                 return x
             return jax.lax.with_sharding_constraint(x, cfg_pair_sharding)
+
+        def guided_step_pair(latents, step):
+            """Guided step as one CFG-pair computation, sharded over ``cfg``.
+
+            Multi-chip form of ``guided_step``: the batch-2B ``[uncond,
+            cond]`` evaluation splits over the mesh's ``cfg`` axis, so the
+            conditional forward+backward and the unconditional work run on
+            *separate chips concurrently* — the per-chip critical path drops
+            from (uncond fwd + cond fwd/bwd) serial to one fwd+bwd.  The
+            loss reads only the cond half's probability maps, so the uncond
+            half's cotangent is structurally zero and the concat VJP's
+            half-sum reduces to the cond gradient exactly.  Single-chip
+            keeps the serial ``guided_step`` — the batch-2 backward would
+            be pure overhead there.
+            """
+            t, tp, ramp = step
+            b = latents.shape[0]
+            if controlnet_apply is not None:
+                lat2_cn = jnp.concatenate([latents, latents], axis=0)
+                cn2 = controlnet_apply(cn_params, lat2_cn, t, emb_pair, cn_cond)
+                down2 = tuple(pair_constrain(d) for d in cn2[0])
+                mid2 = pair_constrain(cn2[1])
+            else:
+                down2, mid2 = None, None
+
+            def pair_loss(lat):
+                lat2 = pair_constrain(jnp.concatenate([lat, lat], axis=0))
+                pred2, probs2 = guided_unet.apply(
+                    params,
+                    lat2,
+                    t,
+                    pair_constrain(emb_pair),
+                    down_block_residuals=down2,
+                    mid_block_residual=mid2,
+                )
+                probs_cond = {k: p[b:] for k, p in probs2.items()}
+                loss = infer_cfg.motion_guidance_weight * motion_guidance_loss(
+                    probs_cond, motion_rep
+                )
+                return loss, pair_constrain(pred2)
+
+            (loss, pred2), grad = jax.value_and_grad(pair_loss, has_aux=True)(
+                latents
+            )
+            grad = grad * ramp
+            uncond_pred, cond_pred = pred2[:b], pred2[b:]
+            noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
+            new_latents = ddim_step(
+                ddim, noise_pred, t, tp, latents, score=grad, guidance_scale=1.0
+            )
+            return new_latents, loss
+
+        if cfg_pair_sharding is not None:
+            guided_step = guided_step_pair
 
         def vanilla_step(latents, step):
             t, tp = step
