@@ -105,6 +105,12 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
 
     parser = build_parser("configs/t2v_camera.yaml", "configs/t2v_camera.jsonl")
     parser.add_argument("--num-devices", type=int, default=0)
+    parser.add_argument(
+        "--cfg-pair",
+        action="store_true",
+        help="also split each example's CFG pair over a second mesh axis "
+        "(even device count; best when chips outnumber examples)",
+    )
     args = parser.parse_args(argv)
     _, runtime = _setup(args)
     examples = load_examples(args.examples)
@@ -117,6 +123,7 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
         default_seed=args.default_seed,
         config_root=args.config_root,
         num_devices=args.num_devices,
+        cfg_pair=args.cfg_pair,
     )
     for p in paths:
         print(p, "is done")

@@ -21,7 +21,9 @@ import numpy as np
 from motionclone_tpu.config import Example
 from motionclone_tpu.io.video import preprocess_video, write_video
 from motionclone_tpu.parallel.mesh import (
+    cfg_pair_sharding,
     make_mesh,
+    make_mesh_2d,
     shard_batch,
     shard_params,
 )
@@ -55,12 +57,19 @@ def run_sweep(
     default_seed: int = 2025,
     config_root: str = ".",
     num_devices: int = 0,
+    cfg_pair: bool = False,
 ) -> List[str]:
     """Run all examples data-parallel; returns written mp4 paths.
 
     ``runtime`` is a :class:`~motionclone_tpu.pipeline.runner.
     MotionCloneRuntime` (t2v only for now — i2v sweeps would add the
     controlnet condition batch the same way).
+
+    ``cfg_pair``: split each example's classifier-free-guidance pair over a
+    second ``cfg`` mesh axis (needs an even device count) — half the
+    examples per batch, but both the guided and vanilla steps overlap their
+    uncond/cond UNet work across the cfg groups (SURVEY §2.5).  Best when
+    there are more chips than pending examples.
     """
     cfg = runtime.infer_cfg
     os.makedirs(motion_rep_dir, exist_ok=True)
@@ -68,7 +77,23 @@ def run_sweep(
 
     devices = jax.devices()
     n_dev = num_devices or len(devices)
-    mesh = make_mesh(n_dev)
+    if cfg_pair:
+        if n_dev < 2 or n_dev % 2:
+            raise ValueError(f"cfg_pair needs an even device count, got {n_dev}")
+        mesh = make_mesh_2d(data=n_dev // 2, cfg=2, devices=devices)
+        from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+
+        fns = make_sampling_fns(
+            runtime.unet_cfg,
+            runtime.sched_cfg,
+            runtime.infer_cfg,
+            dtype=runtime.dtype,
+            cfg_pair_sharding=cfg_pair_sharding(mesh),
+        )
+        n_dev = n_dev // 2  # examples per batch = data-axis size
+    else:
+        mesh = make_mesh(n_dev)
+        fns = runtime.pipeline.fns
     params = shard_params(runtime.pipeline.params, mesh)
 
     out_paths: List[str] = []
@@ -127,7 +152,7 @@ def run_sweep(
             ]
         ).astype(video_latents.dtype)
         with mesh:
-            rep = runtime.pipeline.fns.extract(
+            rep = fns.extract(
                 params, video_latents, shard_batch(noise, mesh),
                 uncond_empty, None, None,
             )
@@ -148,7 +173,7 @@ def run_sweep(
         ).astype(runtime.dtype)
         rep = jax.tree_util.tree_map(lambda a: shard_batch(a, mesh), rep)
         with mesh:
-            latents = runtime.pipeline.fns.sample(
+            latents = fns.sample(
                 params, shard_batch(init_latents, mesh), uncond, cond, rep,
                 None, None,
             )

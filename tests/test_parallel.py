@@ -170,3 +170,22 @@ def test_cfg_pair_sharding_matches_data_only():
         )
         out.block_until_ready()
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_sweep_cfg_pair_validates_device_count(tmp_path):
+    """cfg_pair sweeps need an even device count (pairs ride the cfg axis)."""
+    import types
+
+    import pytest
+
+    from motionclone_tpu.pipeline.sweep import run_sweep
+
+    dummy = types.SimpleNamespace(infer_cfg=None)
+    with pytest.raises(ValueError, match="even device count"):
+        run_sweep(
+            dummy, [],
+            motion_rep_dir=str(tmp_path / "rep"),
+            output_dir=str(tmp_path / "out"),
+            num_devices=3,
+            cfg_pair=True,
+        )
