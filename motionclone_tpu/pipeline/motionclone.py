@@ -64,7 +64,8 @@ def make_controlnet_apply(model):
 
     ``cn_cond`` is ``(cond, mask, scale)``: the frame-scattered condition
     tensor, its mask (see models.sparse_controlnet.scatter_condition), and
-    the conditioning scale.  The condition batch broadcasts over the CFG
+    the conditioning scale — a python float, or a per-example ``(B,1,1,1,1)``
+    array for batched sweeps.  The condition batch broadcasts over the CFG
     pair exactly as the reference's batch-1 cond vs batch-2 latents
     (motionclone_functions.py:190-197).
     """
@@ -75,6 +76,8 @@ def make_controlnet_apply(model):
             # CFG pair: tile the condition over both halves
             cond = jnp.concatenate([cond, cond], axis=0)
             mask = jnp.concatenate([mask, mask], axis=0)
+            if getattr(scale, "ndim", 0):
+                scale = jnp.concatenate([scale, scale], axis=0)
         return model.apply(cn_params, latents, t, text_emb, cond, mask, scale)
 
     return apply
@@ -477,6 +480,7 @@ class MotionClonePipeline:
         self.vae = vae
         self.text_encoder = text_encoder
         self.cn_params = cn_params
+        self.controlnet_apply = controlnet_apply
         self.fns = make_sampling_fns(
             unet_cfg,
             sched_cfg,

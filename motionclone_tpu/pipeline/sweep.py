@@ -62,8 +62,10 @@ def run_sweep(
     """Run all examples data-parallel; returns written mp4 paths.
 
     ``runtime`` is a :class:`~motionclone_tpu.pipeline.runner.
-    MotionCloneRuntime` (t2v only for now — i2v sweeps would add the
-    controlnet condition batch the same way).
+    MotionCloneRuntime`.  i2v (SparseCtrl) sweeps batch the per-example
+    controlnet conditions along with the latents; every example in a sweep
+    must use the same number of condition images (mixed counts produce
+    ragged condition batches — run those serially).
 
     ``cfg_pair``: split each example's classifier-free-guidance pair over a
     second ``cfg`` mesh axis (needs an even device count) — half the
@@ -89,12 +91,51 @@ def run_sweep(
             runtime.infer_cfg,
             dtype=runtime.dtype,
             cfg_pair_sharding=cfg_pair_sharding(mesh),
+            controlnet_apply=runtime.pipeline.controlnet_apply,
         )
         n_dev = n_dev // 2  # examples per batch = data-axis size
     else:
         mesh = make_mesh(n_dev)
         fns = runtime.pipeline.fns
     params = shard_params(runtime.pipeline.params, mesh)
+
+    use_cn = getattr(runtime, "cn_cfg", None) is not None
+    cn_params = (
+        shard_params(runtime.pipeline.cn_params, mesh) if use_cn else None
+    )
+    if use_cn:
+        counts = {len(e.condition_image_paths or ()) for e in examples}
+        if len(counts) > 1:
+            raise ValueError(
+                "i2v sweep needs a uniform condition-image count per "
+                f"example, got {sorted(counts)}; run mixed examples serially"
+            )
+
+    def _batch_scatter(frames_per_example, chunk):
+        """Per-example frame-index scatter -> batched (cond, mask, scale)."""
+        from motionclone_tpu.models.sparse_controlnet import scatter_condition
+
+        conds, masks = [], []
+        for fc, e in zip(frames_per_example, chunk):
+            c, m = scatter_condition(
+                fc, tuple(e.image_index), cfg.video_length
+            )
+            conds.append(c)
+            masks.append(m)
+        scales = jnp.asarray(
+            [
+                e.controlnet_scale
+                if e.controlnet_scale is not None
+                else cfg.controlnet_scale
+                for e in chunk
+            ],
+            runtime.dtype,
+        ).reshape(-1, 1, 1, 1, 1)
+        return (
+            shard_batch(jnp.concatenate(conds, axis=0), mesh),
+            shard_batch(jnp.concatenate(masks, axis=0), mesh),
+            shard_batch(scales, mesh),
+        )
 
     out_paths: List[str] = []
     for chunk, n_real in batch_examples(examples, n_dev):
@@ -141,20 +182,35 @@ def run_sweep(
                 for i in range(len(chunk))
             ]
         )
-        video_latents = shard_batch(z * 0.18215, mesh)
+        lat = z * 0.18215
+        video_latents = shard_batch(lat, mesh)
+
+        # i2v: extraction conditions come from the reference video itself
+        # (runner.run_example step 1; reference motionclone_functions.py:46-63)
+        cn_cond_extract = None
+        if use_cn:
+            frames = []
+            for i, e in enumerate(chunk):
+                idx = list(e.image_index)
+                if runtime.cn_cfg.use_simplified_condition_embedding:
+                    frames.append(lat[i : i + 1, idx])
+                else:
+                    pixels01 = (jnp.asarray(videos[i]) + 1.0) / 2.0
+                    frames.append(pixels01[None][:, idx].astype(runtime.dtype))
+            cn_cond_extract = _batch_scatter(frames, chunk)
 
         noise = jnp.stack(
             [
                 jax.random.normal(
-                    jax.random.PRNGKey(s), video_latents.shape[1:], jnp.float32
+                    jax.random.PRNGKey(s), lat.shape[1:], jnp.float32
                 )
                 for s in seeds
             ]
-        ).astype(video_latents.dtype)
+        ).astype(lat.dtype)
         with mesh:
             rep = fns.extract(
                 params, video_latents, shard_batch(noise, mesh),
-                uncond_empty, None, None,
+                uncond_empty, cn_params, cn_cond_extract,
             )
 
         # --- guided sampling (batched, sharded)
@@ -171,11 +227,34 @@ def run_sweep(
                 for s in seeds
             ]
         ).astype(runtime.dtype)
+        # i2v: sampling conditions come from each example's condition images
+        # (runner.run_example step 2; reference motionclone_functions.py:111-128)
+        cn_cond_sample = None
+        if use_cn:
+            from motionclone_tpu.io.video import load_condition_images
+            from motionclone_tpu.models.vae import sample_latents as vae_draw
+
+            frames = []
+            for i, e in enumerate(chunk):
+                paths = [
+                    os.path.join(config_root, p)
+                    for p in e.condition_image_paths
+                ]
+                imgs01 = load_condition_images(paths, cfg.height, cfg.width)
+                if runtime.cn_cfg.use_simplified_condition_embedding:
+                    x_i = jnp.asarray(imgs01 * 2.0 - 1.0, runtime.dtype)[None]
+                    m_i, lv_i = runtime._vae_encode(runtime.vae_params, x_i)
+                    z_i = vae_draw(m_i, lv_i, jax.random.PRNGKey(seeds[i]))
+                    frames.append(z_i * 0.18215)
+                else:
+                    frames.append(jnp.asarray(imgs01, runtime.dtype)[None])
+            cn_cond_sample = _batch_scatter(frames, chunk)
+
         rep = jax.tree_util.tree_map(lambda a: shard_batch(a, mesh), rep)
         with mesh:
             latents = fns.sample(
                 params, shard_batch(init_latents, mesh), uncond, cond, rep,
-                None, None,
+                cn_params, cn_cond_sample,
             )
 
         # --- decode + write (real examples only)

@@ -183,3 +183,79 @@ def test_i2v_pipeline_end_to_end():
     out = pipe.sample_latents(uncond, cond_emb, rep, seed=7, cn_cond=cn_cond)
     assert out.shape == (B, F, H, W, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batched_controlnet_scale_matches_per_example():
+    """Batched i2v with a per-example (B,1,1,1,1) conditioning-scale vector
+    (the sweep path) reproduces per-example runs with float scales."""
+    from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+
+    unet_cfg = tiny_unet_config()
+    cn_cfg = tiny_cn_config(simplified=True)
+    infer_cfg = InferenceConfig(
+        inference_steps=3,
+        guidance_steps=1,
+        guidance_fraction=0.3,
+        warm_up_steps=1,
+        cool_up_steps=0,
+        motion_guidance_weight=50.0,
+        motion_guidance_blocks=("up_blocks.1",),
+        width=W * 8,
+        height=H * 8,
+        video_length=F,
+    )
+    sched_cfg = NoiseScheduleConfig()
+
+    unet = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
+    sample = jnp.zeros((1, F, H, W, 4))
+    ctx = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
+    unet_params = unet.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx)
+    cn_model = SparseControlNetModel(cfg=cn_cfg)
+    cn_params = cn_model.init(
+        jax.random.PRNGKey(1), sample, jnp.array([1]), ctx,
+        jnp.zeros((1, F, H, W, 4)), jnp.zeros((1, F, H, W, 1)),
+    )
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+        controlnet_apply=make_controlnet_apply(cn_model),
+    )
+
+    nb = 2
+    rng = np.random.default_rng(3)
+    latents = jnp.asarray(rng.normal(size=(nb, F, H, W, 4)), jnp.float32)
+    uncond = jnp.asarray(rng.normal(size=(nb, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    cond_emb = jnp.asarray(rng.normal(size=(nb, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    frames = jnp.asarray(rng.normal(size=(nb, 1, H, W, 4)), jnp.float32)
+    cn_cond_t, cn_mask = scatter_condition(frames, (0,), F)
+    scales = [1.0, 0.5]
+    s_hw = (H // 4) * (W // 4)
+    heads = unet_cfg.motion_module.num_attention_heads
+    rep = {}
+    for m in range(2):
+        for a in range(2):
+            name = (
+                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
+                f".transformer_blocks.0.attention_blocks.{a}"
+            )
+            rep[name] = (
+                jnp.asarray(rng.uniform(0.2, 0.9, size=(nb, s_hw, heads, F, 1)), jnp.float32),
+                jnp.asarray(rng.integers(0, F, size=(nb, s_hw, heads, F, 1)), np.uint8),
+            )
+
+    singles = []
+    for i in range(nb):
+        rep_i = {k: (v[i : i + 1], ix[i : i + 1]) for k, (v, ix) in rep.items()}
+        out_i = fns.sample(
+            unet_params, latents[i : i + 1], uncond[i : i + 1],
+            cond_emb[i : i + 1], rep_i, cn_params,
+            (cn_cond_t[i : i + 1], cn_mask[i : i + 1], scales[i]),
+        )
+        singles.append(np.asarray(out_i))
+    singles = np.concatenate(singles, axis=0)
+
+    scale_vec = jnp.asarray(scales, jnp.float32).reshape(-1, 1, 1, 1, 1)
+    out = fns.sample(
+        unet_params, latents, uncond, cond_emb, rep, cn_params,
+        (cn_cond_t, cn_mask, scale_vec),
+    )
+    np.testing.assert_allclose(np.asarray(out), singles, atol=1e-3, rtol=2e-3)
