@@ -215,7 +215,20 @@ class MotionCloneRuntime:
         output_dir: str,
         default_seed: int = 2025,
         config_root: str = ".",
+        verbose: bool = True,
     ) -> str:
+        """Full flow for one JSONL example; with ``verbose`` prints per-phase
+        wall times (extraction / sampling / decode+write — the observable
+        units of the jitted pipeline; the reference's tqdm bar iterates the
+        python denoise loop, which here is 1-2 device dispatches)."""
+        import time as _time
+
+        def _log(phase, t0):
+            if verbose:
+                print(f"[{example.video_path}] {phase}: "
+                      f"{_time.time() - t0:.1f}s", flush=True)
+            return _time.time()
+
         cfg = self.infer_cfg
         os.makedirs(motion_rep_dir, exist_ok=True)
         os.makedirs(output_dir, exist_ok=True)
@@ -232,6 +245,8 @@ class MotionCloneRuntime:
             if example.controlnet_scale is not None
             else cfg.controlnet_scale
         )
+
+        t0 = _time.time()
 
         # 1. motion representation (cached on disk, reference :87-90)
         if not os.path.exists(rep_path):
@@ -258,6 +273,7 @@ class MotionCloneRuntime:
                 video_latents, uncond_emb, seed=seed_motion, cn_cond=cn_cond
             )
             save_motion_representation(rep_path, rep)
+            t0 = _log("motion representation extracted", t0)
         rep = load_motion_representation(rep_path)
 
         # 2. guided sampling
@@ -283,6 +299,11 @@ class MotionCloneRuntime:
         latents = self.pipeline.sample_latents(
             uncond_emb, cond_emb, rep, seed=seed, cn_cond=cn_cond
         )
+        np.asarray(latents)  # sync so the sampling time is attributed here
+        t0 = _log(
+            f"guided sampling ({cfg.inference_steps} steps, "
+            f"{cfg.guidance_steps} guided)", t0,
+        )
         frames = self.decode_latents(latents)
 
         # 3. write with the reference's naming (:100-101)
@@ -297,4 +318,5 @@ class MotionCloneRuntime:
         )
         out_path = os.path.join(output_dir, out_name)
         write_video(out_path, frames, fps=8)
+        _log("decode + write", t0)
         return out_path

@@ -1,0 +1,87 @@
+"""run_example orchestration test (reference t2v_video_sample.py:75-105).
+
+Drives :meth:`MotionCloneRuntime.run_example` with the compute surfaces
+stubbed out, verifying the host-side flow end to end: video preprocessing,
+motion-representation disk caching, per-phase logging, and the reference's
+output-file naming.  Full-model coverage of the compute calls lives in
+test_pipeline_tiny.py; this covers the glue that no other test touches.
+"""
+
+import os
+from types import SimpleNamespace
+
+import numpy as np
+
+from motionclone_tpu.config import Example, InferenceConfig
+from motionclone_tpu.io.video import write_video
+from motionclone_tpu.pipeline.runner import MotionCloneRuntime
+
+
+def _stub_runtime(calls):
+    rt = object.__new__(MotionCloneRuntime)
+    rt.infer_cfg = InferenceConfig(
+        height=32, width=32, video_length=4, inference_steps=5, guidance_steps=2
+    )
+    rt.cn_cfg = None
+    rt.encode_video = lambda video, seed: np.zeros((1, 4, 4, 4, 4), np.float32)
+    rt.encode_prompt = lambda p, n="": (
+        np.zeros((1, 77, 8), np.float32),
+        np.ones((1, 77, 8), np.float32),
+    )
+    rep = {"up_blocks.1.motion_modules.0": (
+        np.ones((1, 4, 2, 3), np.float32), np.zeros((1, 4, 2, 3), np.uint8)
+    )}
+
+    def extract(video_latents, uncond_emb, seed, cn_cond=None):
+        calls.append("extract")
+        return rep
+
+    def sample(uncond_emb, cond_emb, rep_in, seed, cn_cond=None):
+        calls.append("sample")
+        assert set(rep_in) == set(rep)
+        return np.zeros((1, 4, 4, 4, 4), np.float32)
+
+    rt.pipeline = SimpleNamespace(
+        extract_motion_representation=extract, sample_latents=sample
+    )
+    rt.decode_latents = lambda latents: np.zeros((4, 32, 32, 3), np.uint8)
+    return rt
+
+
+def test_run_example_flow_and_caching(tmp_path, capsys):
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(6, 32, 32, 3), dtype=np.uint8
+    )
+    src = str(tmp_path / "ref.mp4")
+    write_video(src, frames, fps=8)
+
+    calls = []
+    rt = _stub_runtime(calls)
+    ex = Example(video_path="ref.mp4", new_prompt="a cat", seed=7)
+    out = rt.run_example(
+        ex,
+        motion_rep_dir=str(tmp_path / "reps"),
+        output_dir=str(tmp_path / "out"),
+        config_root=str(tmp_path),
+    )
+    # reference naming: <stem>_<prompt underscored><seed_motion>_<seed>.mp4
+    assert os.path.basename(out) == "ref_a_cat7_7.mp4"
+    assert os.path.getsize(out) > 0
+    assert calls == ["extract", "sample"]
+    assert os.path.exists(tmp_path / "reps" / "ref.npz")
+    logged = capsys.readouterr().out
+    assert "motion representation extracted" in logged
+    assert "guided sampling (5 steps, 2 guided)" in logged
+    assert "decode + write" in logged
+
+    # second run: rep is cached on disk -> no re-extraction, no extract log
+    out2 = rt.run_example(
+        ex,
+        motion_rep_dir=str(tmp_path / "reps"),
+        output_dir=str(tmp_path / "out"),
+        config_root=str(tmp_path),
+        verbose=False,
+    )
+    assert calls == ["extract", "sample", "sample"]
+    assert out2 == out
+    assert "extracted" not in capsys.readouterr().out
