@@ -38,6 +38,12 @@ def build_parser(default_config: str, default_examples: str) -> argparse.Argumen
     parser.add_argument("--H", type=int, default=512)
     parser.add_argument("--config-root", type=str, default=".")
     parser.add_argument("--float32", action="store_true")
+    parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="checkpoint sampling progress per chunk and continue an "
+        "interrupted run from the last finished chunk",
+    )
     return parser
 
 
@@ -68,6 +74,7 @@ def run_serial(args) -> None:
             output_dir=args.generated_videos_save_dir,
             default_seed=args.default_seed,
             config_root=args.config_root,
+            resume=args.resume,
         )
         print(out_path, "is done")
 

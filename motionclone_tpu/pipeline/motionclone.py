@@ -25,6 +25,7 @@ not differentiated, so XLA stores no residuals for them.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
@@ -90,6 +91,7 @@ class SamplingFns:
     extract: Callable[..., MotionRep]
     sample: Callable[..., jnp.ndarray]
     sample_plain: Callable[..., jnp.ndarray]
+    sample_plain_probs: Callable[..., Tuple[jnp.ndarray, Dict[str, np.ndarray]]]
     timesteps: np.ndarray
     ddim: DDIMParams
 
@@ -392,27 +394,65 @@ def make_sampling_fns(
     # reused across chunks.  Chunk boundaries cost real idle time through
     # the dispatch tunnel (~0.3 s each measured), so chunks are as long as
     # compile time tolerates.
+    #
+    # ``resume_path`` adds mid-run checkpointing the reference lacks
+    # (SURVEY §5: "The sampling loop itself has no resume/checkpointing"):
+    # after each chunk the latent state is written atomically, and a rerun
+    # with the same path picks up at the first unfinished chunk — exact,
+    # since chunk boundaries only split the scan xs.  A checkpoint from a
+    # different schedule or chunking is detected and ignored.
+    # ``on_chunk(steps_done, total_steps)`` is a host progress callback.
     def sample(params, init_latents, uncond_emb, cond_emb, motion_rep,
-               cn_params=None, cn_cond=None, chunk_steps: int = 50):
-        def chunks(arrays, length):
-            n = len(arrays[0])
-            lo = 0
-            while lo < n:
-                size = min(length, n - lo)
-                yield tuple(a[lo : lo + size] for a in arrays)
-                lo += size
-
+               cn_params=None, cn_cond=None, chunk_steps: int = 50,
+               resume_path: Optional[str] = None, on_chunk=None):
+        total = len(timesteps)
+        fingerprint = np.asarray(timesteps, np.int32)
+        steps_done = 0
         latents = init_latents  # init_noise_sigma == 1 for DDIM
-        for xs in chunks((ts_guided, tp_guided, ramps_guided), chunk_steps):
-            latents = guided_chunk(
-                params, latents, uncond_emb, cond_emb, motion_rep,
-                cn_params, cn_cond, xs,
-            )
-        for xs in chunks((ts_vanilla, tp_vanilla), chunk_steps):
-            latents = vanilla_chunk(
-                params, latents, uncond_emb, cond_emb, motion_rep,
-                cn_params, cn_cond, xs,
-            )
+        if resume_path and os.path.exists(resume_path):
+            d = np.load(resume_path)
+            if (
+                int(d["chunk_steps"]) == chunk_steps
+                and d["timesteps"].shape == fingerprint.shape
+                and (d["timesteps"] == fingerprint).all()
+                and tuple(d["latents"].shape) == tuple(init_latents.shape)
+            ):
+                steps_done = int(d["steps_done"])
+                latents = jnp.asarray(d["latents"], dtype=init_latents.dtype)
+
+        phases = (
+            ((ts_guided, tp_guided, ramps_guided), guided_chunk),
+            ((ts_vanilla, tp_vanilla), vanilla_chunk),
+        )
+        offset = 0
+        for arrays, chunk_fn in phases:
+            n, lo = len(arrays[0]), 0
+            while lo < n:
+                size = min(chunk_steps, n - lo)
+                if offset + size > steps_done:  # not already checkpointed
+                    xs = tuple(a[lo : lo + size] for a in arrays)
+                    latents = chunk_fn(
+                        params, latents, uncond_emb, cond_emb, motion_rep,
+                        cn_params, cn_cond, xs,
+                    )
+                    if resume_path:
+                        # f32 on disk (npz has no bf16); cast back is exact.
+                        # keep the .npz suffix: np.savez appends it otherwise
+                        tmp = resume_path + ".tmp.npz"
+                        np.savez(
+                            tmp,
+                            latents=np.asarray(latents, dtype=np.float32),
+                            steps_done=offset + size,
+                            timesteps=fingerprint,
+                            chunk_steps=chunk_steps,
+                        )
+                        os.replace(tmp, resume_path)
+                    if on_chunk is not None:
+                        on_chunk(offset + size, total)
+                lo += size
+                offset += size
+        if resume_path and os.path.exists(resume_path):
+            os.remove(resume_path)
         return latents
 
     # plain AnimateDiff generation without motion guidance — the reference's
@@ -445,8 +485,71 @@ def make_sampling_fns(
             lo += size
         return latents
 
+    # vanilla steps that also emit the guidance blocks' temporal-attention
+    # probabilities — the reference's ``save_probs`` debug dump
+    # (pipeline_animation.py:461-465,483-485; there the attention recorder
+    # captures the batched CFG forward, so the prob maps cover both halves)
+    def _vanilla_probs_chunk(params, latents, uncond_emb, cond_emb,
+                             cn_params, cn_cond, xs):
+        emb_pair = jnp.concatenate([uncond_emb, cond_emb], axis=0)
+        cfg_scale = infer_cfg.cfg_scale
+
+        def step(lat, s):
+            t, tp = s
+            b = lat.shape[0]
+            lat2 = jnp.concatenate([lat, lat], axis=0)
+            if controlnet_apply is not None and cn_cond is not None:
+                down_res, mid_res = controlnet_apply(
+                    cn_params, lat2, t, emb_pair, cn_cond
+                )
+            else:
+                down_res, mid_res = None, None
+            pred2, probs = guided_unet.apply(
+                params,
+                lat2,
+                t,
+                emb_pair,
+                down_block_residuals=down_res,
+                mid_block_residual=mid_res,
+            )
+            uncond_pred, cond_pred = pred2[:b], pred2[b:]
+            noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
+            return ddim_step(ddim, noise_pred, t, tp, lat), probs
+
+        return jax.lax.scan(step, latents, xs)
+
+    vanilla_probs_chunk = jax.jit(_vanilla_probs_chunk)
+
+    def sample_plain_probs(params, init_latents, uncond_emb, cond_emb,
+                           cn_params=None, cn_cond=None, chunk_steps: int = 10):
+        """``sample_plain`` that also returns per-step temporal-attention
+        probability maps ``{module: (steps, ...f, f) float array}``.  Debug
+        surface only: chunks stay short so the stacked prob maps (33 MB per
+        module per step at 512²) never pile up on device — each chunk's maps
+        are fetched to host before the next dispatch."""
+        latents = init_latents
+        collected = []
+        n = len(ts_plain_j)
+        lo = 0
+        while lo < n:
+            size = min(chunk_steps, n - lo)
+            xs = (ts_plain_j[lo : lo + size], tp_plain_j[lo : lo + size])
+            latents, probs = vanilla_probs_chunk(
+                params, latents, uncond_emb, cond_emb, cn_params, cn_cond, xs
+            )
+            collected.append(
+                {k: np.asarray(v, dtype=np.float32) for k, v in probs.items()}
+            )
+            lo += size
+        all_probs = {
+            k: np.concatenate([c[k] for c in collected], axis=0)
+            for k in (collected[0] if collected else {})
+        }
+        return latents, all_probs
+
     return SamplingFns(
         extract=extract, sample=sample, sample_plain=sample_plain,
+        sample_plain_probs=sample_plain_probs,
         timesteps=timesteps, ddim=ddim,
     )
 
@@ -513,8 +616,15 @@ class MotionClonePipeline:
         motion_rep: MotionRep,
         seed: int,
         cn_cond=None,
+        resume_path: Optional[str] = None,
+        on_chunk=None,
     ) -> jnp.ndarray:
-        """Guided DDIM sampling -> final latents (reference :102-171)."""
+        """Guided DDIM sampling -> final latents (reference :102-171).
+
+        ``resume_path``: optional mid-run checkpoint file — an interrupted
+        run restarted with the same path continues at the first unfinished
+        chunk (additive over the reference, SURVEY §5).
+        """
         cfg = self.infer_cfg
         shape = (
             1,
@@ -528,6 +638,7 @@ class MotionClonePipeline:
         return self.fns.sample(
             self.params, latents, uncond_emb, cond_emb, motion_rep,
             self.cn_params, cn_cond,
+            resume_path=resume_path, on_chunk=on_chunk,
         )
 
     def sample_latents_plain(
@@ -536,10 +647,18 @@ class MotionClonePipeline:
         cond_emb: jnp.ndarray,
         seed: int,
         cn_cond=None,
+        save_probs_path: Optional[str] = None,
     ) -> jnp.ndarray:
         """Plain AnimateDiff generation, no motion guidance — parity with the
         reference's legacy ``AnimationPipeline.__call__``
-        (pipeline_animation.py:326-497)."""
+        (pipeline_animation.py:326-497).
+
+        ``save_probs_path``: the reference's ``save_probs`` debug hook
+        (pipeline_animation.py:461-465,483-485) — writes every step's
+        temporal-attention probability maps for the guidance blocks to an
+        ``.npz`` (key per module, leading axis = step index) instead of the
+        reference's pickle.
+        """
         cfg = self.infer_cfg
         shape = (
             1,
@@ -550,6 +669,13 @@ class MotionClonePipeline:
         )
         key = jax.random.PRNGKey(seed)
         latents = jax.random.normal(key, shape, dtype=jnp.float32).astype(self.dtype)
+        if save_probs_path is not None:
+            latents, probs = self.fns.sample_plain_probs(
+                self.params, latents, uncond_emb, cond_emb, self.cn_params,
+                cn_cond,
+            )
+            np.savez(save_probs_path, **probs)
+            return latents
         return self.fns.sample_plain(
             self.params, latents, uncond_emb, cond_emb, self.cn_params, cn_cond
         )

@@ -216,11 +216,17 @@ class MotionCloneRuntime:
         default_seed: int = 2025,
         config_root: str = ".",
         verbose: bool = True,
+        resume: bool = False,
     ) -> str:
         """Full flow for one JSONL example; with ``verbose`` prints per-phase
         wall times (extraction / sampling / decode+write — the observable
         units of the jitted pipeline; the reference's tqdm bar iterates the
-        python denoise loop, which here is 1-2 device dispatches)."""
+        python denoise loop, which here is 1-2 device dispatches).
+
+        ``resume``: checkpoint the sampling loop's latent state after each
+        chunk under ``output_dir`` and continue an interrupted run from the
+        last finished chunk (additive over the reference; the motion
+        representation is already resumable via its on-disk cache)."""
         import time as _time
 
         def _log(phase, t0):
@@ -296,17 +302,8 @@ class MotionCloneRuntime:
                 frames_cond, tuple(example.image_index), cfg.video_length
             )
             cn_cond = (cond_t, mask_t, controlnet_scale)
-        latents = self.pipeline.sample_latents(
-            uncond_emb, cond_emb, rep, seed=seed, cn_cond=cn_cond
-        )
-        np.asarray(latents)  # sync so the sampling time is attributed here
-        t0 = _log(
-            f"guided sampling ({cfg.inference_steps} steps, "
-            f"{cfg.guidance_steps} guided)", t0,
-        )
-        frames = self.decode_latents(latents)
-
-        # 3. write with the reference's naming (:100-101)
+        # output name with the reference's scheme (:100-101), fixed before
+        # sampling so the resume checkpoint can key off it
         out_name = (
             stem
             + "_"
@@ -317,6 +314,23 @@ class MotionCloneRuntime:
             + ".mp4"
         )
         out_path = os.path.join(output_dir, out_name)
+        resume_path = (
+            os.path.join(output_dir, ".resume_" + out_name + ".npz")
+            if resume
+            else None
+        )
+        latents = self.pipeline.sample_latents(
+            uncond_emb, cond_emb, rep, seed=seed, cn_cond=cn_cond,
+            resume_path=resume_path,
+        )
+        np.asarray(latents)  # sync so the sampling time is attributed here
+        t0 = _log(
+            f"guided sampling ({cfg.inference_steps} steps, "
+            f"{cfg.guidance_steps} guided)", t0,
+        )
+        frames = self.decode_latents(latents)
+
+        # 3. write the video
         write_video(out_path, frames, fps=8)
         _log("decode + write", t0)
         return out_path

@@ -137,3 +137,69 @@ def test_sample_plain_vanilla_path(pipeline):
     assert ts[0] != pipeline.fns.timesteps[0] or len(ts) == len(
         pipeline.fns.timesteps
     )
+
+
+def test_sample_resume_checkpoint(pipeline, tmp_path):
+    """Interrupted guided sampling resumes bit-exactly from the per-chunk
+    checkpoint (additive over the reference, SURVEY §5)."""
+    import os
+
+    unet_cfg = pipeline.unet_cfg
+    rng = np.random.default_rng(5)
+    uncond, cond = _embs(unet_cfg, seed=5)
+    video_latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    rep = pipeline.extract_motion_representation(video_latents, uncond, seed=42)
+    latents0 = jax.random.normal(jax.random.PRNGKey(9), (B, F, H, W, 4))
+    args = (pipeline.params, latents0, uncond, cond, rep, None, None)
+
+    ref = pipeline.fns.sample(*args, chunk_steps=2)
+
+    path = str(tmp_path / "resume.npz")
+
+    class Stop(Exception):
+        pass
+
+    def boom(done, total):
+        assert total == pipeline.infer_cfg.inference_steps
+        if done >= 2:
+            raise Stop
+
+    with pytest.raises(Stop):
+        pipeline.fns.sample(*args, chunk_steps=2, resume_path=path, on_chunk=boom)
+    assert os.path.exists(path)
+
+    out = pipeline.fns.sample(*args, chunk_steps=2, resume_path=path)
+    assert not os.path.exists(path)  # cleaned up on completion
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # a checkpoint from a different chunking is ignored, not misapplied
+    with pytest.raises(Stop):
+        pipeline.fns.sample(*args, chunk_steps=2, resume_path=path, on_chunk=boom)
+    out2 = pipeline.fns.sample(*args, chunk_steps=3, resume_path=path)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
+
+
+def test_sample_plain_save_probs(pipeline, tmp_path):
+    """save_probs debug dump parity (pipeline_animation.py:461-465,483-485):
+    per-step temporal-attention prob maps written as an .npz, and the dump
+    does not perturb the sampled latents."""
+    uncond, cond = _embs(pipeline.unet_cfg, seed=4)
+    path = str(tmp_path / "probs.npz")
+    out = pipeline.sample_latents_plain(
+        uncond, cond, seed=13, save_probs_path=path
+    )
+    ref = pipeline.sample_latents_plain(uncond, cond, seed=13)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    data = np.load(path)
+    # up_blocks.1: 2 motion modules x 2 attention blocks
+    assert len(data.files) == 4
+    steps = pipeline.infer_cfg.inference_steps
+    for k in data.files:
+        probs = data[k]
+        assert probs.shape[0] == steps
+        assert probs.shape[-2:] == (F, F)
+        # valid attention rows from the batched CFG forward (batch 2)
+        np.testing.assert_allclose(
+            probs.sum(axis=-1), np.ones(probs.shape[:-1]), atol=1e-3
+        )
