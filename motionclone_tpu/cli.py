@@ -131,6 +131,7 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
         config_root=args.config_root,
         num_devices=args.num_devices,
         cfg_pair=args.cfg_pair,
+        resume=args.resume,
     )
     for p in paths:
         print(p, "is done")

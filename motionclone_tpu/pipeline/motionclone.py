@@ -404,7 +404,8 @@ def make_sampling_fns(
     # ``on_chunk(steps_done, total_steps)`` is a host progress callback.
     def sample(params, init_latents, uncond_emb, cond_emb, motion_rep,
                cn_params=None, cn_cond=None, chunk_steps: int = 50,
-               resume_path: Optional[str] = None, on_chunk=None):
+               resume_path: Optional[str] = None, on_chunk=None,
+               resume_tag: str = ""):
         total = len(timesteps)
         fingerprint = np.asarray(timesteps, np.int32)
         steps_done = 0
@@ -413,12 +414,17 @@ def make_sampling_fns(
             d = np.load(resume_path)
             if (
                 int(d["chunk_steps"]) == chunk_steps
+                and str(d["tag"]) == resume_tag
                 and d["timesteps"].shape == fingerprint.shape
                 and (d["timesteps"] == fingerprint).all()
                 and tuple(d["latents"].shape) == tuple(init_latents.shape)
             ):
                 steps_done = int(d["steps_done"])
-                latents = jnp.asarray(d["latents"], dtype=init_latents.dtype)
+                # keep the caller's layout (sweeps shard the batch axis)
+                latents = jax.device_put(
+                    jnp.asarray(d["latents"], dtype=init_latents.dtype),
+                    init_latents.sharding,
+                )
 
         phases = (
             ((ts_guided, tp_guided, ramps_guided), guided_chunk),
@@ -445,6 +451,7 @@ def make_sampling_fns(
                             steps_done=offset + size,
                             timesteps=fingerprint,
                             chunk_steps=chunk_steps,
+                            tag=resume_tag,
                         )
                         os.replace(tmp, resume_path)
                     if on_chunk is not None:

@@ -58,6 +58,7 @@ def run_sweep(
     config_root: str = ".",
     num_devices: int = 0,
     cfg_pair: bool = False,
+    resume: bool = False,
 ) -> List[str]:
     """Run all examples data-parallel; returns written mp4 paths.
 
@@ -72,6 +73,10 @@ def run_sweep(
     examples per batch, but both the guided and vanilla steps overlap their
     uncond/cond UNet work across the cfg groups (SURVEY §2.5).  Best when
     there are more chips than pending examples.
+
+    ``resume``: checkpoint each batch's sampling loop per chunk under
+    ``output_dir``, keyed by a content hash of the batch's examples+seeds,
+    so an interrupted sweep rerun continues exactly where it stopped.
     """
     cfg = runtime.infer_cfg
     os.makedirs(motion_rep_dir, exist_ok=True)
@@ -250,11 +255,26 @@ def run_sweep(
                     frames.append(jnp.asarray(imgs01, runtime.dtype)[None])
             cn_cond_sample = _batch_scatter(frames, chunk)
 
+        resume_path, resume_tag = None, ""
+        if resume:
+            import hashlib
+
+            resume_tag = hashlib.sha1(
+                "|".join(
+                    f"{e.video_path}:{e.new_prompt}:{s}"
+                    for e, s in zip(chunk, seeds)
+                ).encode()
+            ).hexdigest()[:16]
+            resume_path = os.path.join(
+                output_dir, f".resume_sweep_{resume_tag}.npz"
+            )
+
         rep = jax.tree_util.tree_map(lambda a: shard_batch(a, mesh), rep)
         with mesh:
             latents = fns.sample(
                 params, shard_batch(init_latents, mesh), uncond, cond, rep,
                 cn_params, cn_cond_sample,
+                resume_path=resume_path, resume_tag=resume_tag,
             )
 
         # --- decode + write (real examples only)

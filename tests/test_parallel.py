@@ -172,6 +172,98 @@ def test_cfg_pair_sharding_matches_data_only():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
 
 
+def test_sharded_sample_resume(tmp_path):
+    """Resume of a batched, data-sharded sampling run is exact, and a
+    checkpoint with a different content tag is ignored (sweep resume)."""
+    import os
+
+    import pytest
+
+    unet_cfg = tiny_unet_config()
+    sched_cfg = NoiseScheduleConfig()
+    infer_cfg = InferenceConfig(
+        inference_steps=3,
+        guidance_steps=2,
+        guidance_fraction=0.3,
+        warm_up_steps=1,
+        cool_up_steps=1,
+        motion_guidance_weight=50.0,
+        motion_guidance_blocks=("up_blocks.1",),
+        width=W * 8,
+        height=H * 8,
+        video_length=F,
+    )
+    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
+    sample0 = jnp.zeros((1, F, H, W, 4))
+    ctx0 = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    )
+
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    uncond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    s_hw = (H // 4) * (W // 4)
+    heads = unet_cfg.motion_module.num_attention_heads
+    rep = {}
+    for m in range(2):
+        for a in range(2):
+            name = (
+                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
+                f".transformer_blocks.0.attention_blocks.{a}"
+            )
+            rep[name] = (
+                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, heads, F, 1)), jnp.float32),
+                jnp.asarray(rng.integers(0, F, size=(B, s_hw, heads, F, 1)), np.uint8),
+            )
+
+    mesh = make_mesh(4)
+    p = shard_params(params, mesh)
+    sh = lambda a: shard_batch(a, mesh)  # noqa: E731
+    args = (
+        p, sh(latents), sh(uncond), sh(cond),
+        jax.tree_util.tree_map(sh, rep), None, None,
+    )
+    path = str(tmp_path / "r.npz")
+
+    with mesh:
+        ref = np.asarray(fns.sample(*args))
+
+    class Stop(Exception):
+        pass
+
+    def boom(done, total):
+        if done >= 2:  # after the guided chunk (2 of 3 steps)
+            raise Stop
+
+    with mesh:
+        with pytest.raises(Stop):
+            fns.sample(*args, resume_path=path, on_chunk=boom, resume_tag="t")
+        assert os.path.exists(path)
+
+        # wrong tag -> checkpoint ignored, full fresh run (2 chunks seen)
+        seen = []
+        fns.sample(
+            *args, resume_path=path, resume_tag="other",
+            on_chunk=lambda d, t: seen.append(d),
+        )
+        assert seen == [2, 3]
+
+        # right tag -> resumes at the vanilla chunk only, exact result
+        with pytest.raises(Stop):
+            fns.sample(*args, resume_path=path, on_chunk=boom, resume_tag="t")
+        seen = []
+        out = fns.sample(
+            *args, resume_path=path, resume_tag="t",
+            on_chunk=lambda d, t: seen.append(d),
+        )
+        assert seen == [3]
+        assert not os.path.exists(path)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
 def test_sweep_cfg_pair_validates_device_count(tmp_path):
     """cfg_pair sweeps need an even device count (pairs ride the cfg axis)."""
     import types
