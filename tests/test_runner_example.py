@@ -36,7 +36,8 @@ def _stub_runtime(calls):
         calls.append("extract")
         return rep
 
-    def sample(uncond_emb, cond_emb, rep_in, seed, cn_cond=None):
+    def sample(uncond_emb, cond_emb, rep_in, seed, cn_cond=None,
+               resume_path=None, on_chunk=None):
         calls.append("sample")
         assert set(rep_in) == set(rep)
         return np.zeros((1, 4, 4, 4, 4), np.float32)
