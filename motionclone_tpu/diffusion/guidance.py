@@ -95,12 +95,18 @@ def ramp_scales(
 def save_motion_representation(
     path: str, rep: Mapping[str, Tuple[jnp.ndarray, jnp.ndarray]]
 ) -> None:
-    """Persist {module: (values, indices)} to an .npz file.
+    """Persist {module: (values, indices)} to an .npz file — or, when
+    ``path`` ends in ``.pt``/``.pth``, to the reference's torch payload
+    (so representations extracted here can be consumed by the CUDA
+    reference, see ``_save_motion_representation_torch``).
 
     Module names keep the reference's dotted naming (e.g.
-    ``up_blocks.1.motion_modules.0...``) so files are conceptually
-    interchangeable with the reference's .pt payloads.
+    ``up_blocks.1.motion_modules.0...``) so files are interchangeable
+    with the reference's .pt payloads.
     """
+    if path.endswith((".pt", ".pth")):
+        _save_motion_representation_torch(path, rep)
+        return
     flat = {}
     for name, (values, indices) in rep.items():
         flat[f"{name}#values"] = np.asarray(values, dtype=np.float32)
@@ -109,6 +115,14 @@ def save_motion_representation(
 
 
 def load_motion_representation(path: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Load a motion representation: native ``.npz`` or a reference ``.pt``.
+
+    ``.pt``/``.pth`` paths are parsed as the reference's torch payload
+    (motionclone_functions.py:79-81), so representations extracted with the
+    CUDA reference are drop-in usable here.
+    """
+    if path.endswith((".pt", ".pth")):
+        return _load_motion_representation_torch(path)
     data = np.load(path)
     rep: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     for key in data.files:
@@ -116,3 +130,57 @@ def load_motion_representation(path: str) -> Dict[str, Tuple[np.ndarray, np.ndar
             name = key[: -len("#values")]
             rep[name] = (data[key], data[f"{name}#indices"])
     return rep
+
+
+# ---------------------------------------------------------------------------
+# Reference .pt interop (torch is host-side/optional; TPU compute never
+# touches it)
+# ---------------------------------------------------------------------------
+#
+# The reference persists ``{module_name: [max_value, max_index.uint8]}``
+# via torch.save, with per-module arrays shaped ``(b*s, heads, f, 1)``
+# (motionclone_functions.py:79-81: probs are reshaped to
+# ``(-1, heads, f, f)`` at :281 before top-1).  Our in-memory layout keeps
+# the batch and pixel axes separate: ``(b, s, heads, f, 1)``.  Batch size is
+# 1 in every reference flow (motionclone_functions.py:133), so the mapping
+# between the two is a pure reshape.
+
+
+def _load_motion_representation_torch(
+    path: str, batch: int = 1
+) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    import torch  # host-side only
+
+    payload = torch.load(path, map_location="cpu", weights_only=True)
+    rep: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for name, pair in payload.items():
+        values, indices = pair[0], pair[1]
+        v = np.asarray(values.to(torch.float32).numpy())
+        i = np.asarray(indices.numpy()).astype(np.uint8)
+        if v.ndim != 4 or v.shape[-1] != 1 or v.shape[0] % batch:
+            raise ValueError(
+                f"{path}: module {name!r} has shape {v.shape}; expected the "
+                f"reference layout (batch*pixels, heads, frames, 1) with "
+                f"batch={batch}"
+            )
+        shape = (batch, v.shape[0] // batch) + v.shape[1:]
+        rep[name] = (v.reshape(shape), i.reshape(shape))
+    return rep
+
+
+def _save_motion_representation_torch(
+    path: str, rep: Mapping[str, Tuple[jnp.ndarray, jnp.ndarray]]
+) -> None:
+    import torch  # host-side only
+
+    payload = {}
+    for name, (values, indices) in rep.items():
+        # np.array (not asarray): jax buffers are non-writable views, and
+        # torch.from_numpy requires writable memory
+        v = np.array(values, dtype=np.float32)
+        i = np.array(indices, dtype=np.uint8)
+        # (b, s, heads, f, 1) -> the reference's (b*s, heads, f, 1)
+        v = v.reshape((-1,) + v.shape[2:])
+        i = i.reshape((-1,) + i.shape[2:])
+        payload[name] = [torch.from_numpy(v), torch.from_numpy(i)]
+    torch.save(payload, path)

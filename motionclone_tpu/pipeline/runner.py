@@ -243,6 +243,13 @@ class MotionCloneRuntime:
         video_path = os.path.join(config_root, example.video_path)
         stem = os.path.splitext(os.path.basename(example.video_path))[0]
         rep_path = os.path.join(motion_rep_dir, stem + ".npz")
+        # a reference-produced torch payload dropped into the rep dir is a
+        # drop-in substitute for extraction (guidance.py .pt interop)
+        for alt in (stem + ".pt", stem + ".pth"):
+            alt_path = os.path.join(motion_rep_dir, alt)
+            if not os.path.exists(rep_path) and os.path.exists(alt_path):
+                rep_path = alt_path
+                break
 
         new_prompt = example.new_prompt + cfg.positive_prompt
         use_controlnet = self.cn_cfg is not None

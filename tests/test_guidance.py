@@ -99,3 +99,60 @@ def test_motion_representation_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(v, np.asarray(rep["up_blocks.1.motion_modules.0.ta.0"][0]))
     np.testing.assert_array_equal(i, np.asarray(rep["up_blocks.1.motion_modules.0.ta.0"][1]))
     assert i.dtype == np.uint8
+
+
+def test_reference_pt_interop(tmp_path, rng):
+    """Reference-format torch .pt payloads load as drop-in representations.
+
+    The reference persists {name: [values, indices_uint8]} with arrays
+    shaped (batch*pixels, heads, frames, 1) (motionclone_functions.py:79-81);
+    our in-memory layout is (batch, pixels, heads, frames, 1).
+    """
+    torch = pytest.importorskip("torch")
+    b, s, heads, f = 1, 6, 2, 4
+    values = rng.uniform(0.2, 0.9, size=(b * s, heads, f, 1)).astype(np.float32)
+    indices = rng.integers(0, f, size=(b * s, heads, f, 1)).astype(np.uint8)
+    path = str(tmp_path / "ref.pt")
+    # exactly as the reference writes it: a dict of [tensor, tensor] lists,
+    # values in the compute dtype (fp16 there)
+    torch.save(
+        {"up_blocks.1.mm": [
+            torch.from_numpy(values).to(torch.float16),
+            torch.from_numpy(indices),
+        ]},
+        path,
+    )
+
+    rep = load_motion_representation(path)
+    v, i = rep["up_blocks.1.mm"]
+    assert v.shape == (b, s, heads, f, 1) and i.shape == (b, s, heads, f, 1)
+    assert v.dtype == np.float32 and i.dtype == np.uint8
+    np.testing.assert_allclose(
+        v.reshape(b * s, heads, f, 1), values, atol=5e-4
+    )
+    np.testing.assert_array_equal(i.reshape(b * s, heads, f, 1), indices)
+
+
+def test_pt_save_load_roundtrip(tmp_path, rng):
+    """Saving to .pt produces a payload the reference's loader shape expects,
+    and it round-trips through our own loader exactly."""
+    torch = pytest.importorskip("torch")
+    probs = jnp.asarray(_softmax_probs(rng, (1, 6, 2, 4, 4)))
+    rep = {"up_blocks.1.motion_modules.0.ta.0": sparsify_top1(probs)}
+    path = str(tmp_path / "rep.pt")
+    save_motion_representation(path, rep)
+
+    # reference-side view: torch.load gives (b*s, heads, f, 1) tensors
+    payload = torch.load(path, map_location="cpu", weights_only=True)
+    tv, ti = payload["up_blocks.1.motion_modules.0.ta.0"]
+    assert tuple(tv.shape) == (6, 2, 4, 1)
+    assert ti.dtype == torch.uint8
+
+    loaded = load_motion_representation(path)
+    v, i = loaded["up_blocks.1.motion_modules.0.ta.0"]
+    np.testing.assert_array_equal(
+        v, np.asarray(rep["up_blocks.1.motion_modules.0.ta.0"][0])
+    )
+    np.testing.assert_array_equal(
+        i, np.asarray(rep["up_blocks.1.motion_modules.0.ta.0"][1])
+    )

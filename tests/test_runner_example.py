@@ -86,3 +86,41 @@ def test_run_example_flow_and_caching(tmp_path, capsys):
     assert calls == ["extract", "sample", "sample"]
     assert out2 == out
     assert "extracted" not in capsys.readouterr().out
+
+
+def test_run_example_uses_reference_pt_rep(tmp_path):
+    """A reference-produced torch .pt dropped into the rep dir is used
+    directly: no re-extraction (drop-in migration from the CUDA reference)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    frames = np.random.default_rng(1).integers(
+        0, 255, size=(6, 32, 32, 3), dtype=np.uint8
+    )
+    src = str(tmp_path / "ref.mp4")
+    write_video(src, frames, fps=8)
+
+    rep_dir = tmp_path / "reps"
+    os.makedirs(rep_dir)
+    values = np.full((4, 2, 3, 1), 0.5, np.float32)
+    indices = np.zeros((4, 2, 3, 1), np.uint8)
+    torch.save(
+        {"up_blocks.1.motion_modules.0": [
+            torch.from_numpy(values), torch.from_numpy(indices)
+        ]},
+        str(rep_dir / "ref.pt"),
+    )
+
+    calls = []
+    rt = _stub_runtime(calls)
+    ex = Example(video_path="ref.mp4", new_prompt="a cat", seed=7)
+    rt.run_example(
+        ex,
+        motion_rep_dir=str(rep_dir),
+        output_dir=str(tmp_path / "out"),
+        config_root=str(tmp_path),
+        verbose=False,
+    )
+    # sample ran off the .pt payload; extraction never happened
+    assert calls == ["sample"]
+    assert not os.path.exists(rep_dir / "ref.npz")
