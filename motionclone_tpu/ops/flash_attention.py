@@ -40,6 +40,9 @@ DEFAULT_BK = 4096
 DEFAULT_WHOLE_BQ = 512
 DEFAULT_BWD_BQ = 256
 DEFAULT_BWD_BK = 2048
+# K/V element count up to which the merged whole-KV backward (K/V + f32
+# dk/dv accumulators resident in VMEM) is used instead of streaming tiles
+WHOLE_BWD_MAX_ELEMS = 2 * 1024 * 1024
 NEG_INF = -1e30
 # Maxless softmax clamp (see ops/fused_block.py): exact for |logits| <= 75,
 # graceful flattening beyond; removes the row-max lane reduction (~40% of
@@ -442,7 +445,7 @@ def _flash_bwd(q, k, v, out, lse, do, scale, heads, block_q, block_k):
     hd = k.shape[-1]
     # whole-KV merged backward whenever K/V + f32 dk/dv accumulators fit
     # VMEM comfortably (covers every MotionClone spatial shape)
-    if sk * hd <= 2 * 1024 * 1024:
+    if sk * hd <= WHOLE_BWD_MAX_ELEMS:
         return _flash_bwd_whole(q, k, v, out, lse, do, scale, heads,
                                 DEFAULT_WHOLE_BQ)
     b, sq, hd = q.shape
@@ -526,7 +529,11 @@ _flash_attention_bsh.defvjp(_fwd_rule, _bwd_rule)
 
 
 def supported(q_shape, k_shape, heads: int, block_q: int = DEFAULT_BQ,
-              block_k: int = DEFAULT_BK) -> bool:
+              block_k: int = DEFAULT_BK, bwd_block_q: int = DEFAULT_BWD_BQ,
+              bwd_block_k: int = DEFAULT_BWD_BK) -> bool:
+    """Mirrors the fwd/bwd dispatch: tiling divisibility is only required
+    on the *streaming* paths; the whole-KV kernels accept any sequence
+    (their query tile halves until it divides, e.g. S=2304 at 384x384)."""
     b, sq, hd = q_shape
     sk = k_shape[1]
     if hd % heads:
@@ -536,7 +543,13 @@ def supported(q_shape, k_shape, heads: int, block_q: int = DEFAULT_BQ,
         return False  # head slices must stay sublane-aligned lane ranges
     if 2 * min(block_k, sk) * hd * 2 > 24 * 1024 * 1024:
         return False  # double-buffered K/V block must leave VMEM headroom
-    return sq % min(block_q, sq) == 0 and sk % min(block_k, sk) == 0
+    if sk > block_k and (sq % min(block_q, sq) or sk % min(block_k, sk)):
+        return False  # streaming forward needs even tiles
+    if sk * hd > WHOLE_BWD_MAX_ELEMS and (
+        sq % min(bwd_block_q, sq) or sk % min(bwd_block_k, sk)
+    ):
+        return False  # streaming backward needs even tiles
+    return True
 
 
 def flash_attention(
@@ -554,13 +567,10 @@ def flash_attention(
     """Differentiable exact attention over natural-layout (B, S, heads*D)
     tensors.  Check :func:`supported` first.  The backward kernels use
     their own (smaller) tile sizes: they hold extra f32 accumulators."""
-    if not supported(q.shape, k.shape, heads, block_q, block_k):
+    if not supported(q.shape, k.shape, heads, block_q, block_k,
+                     bwd_block_q, bwd_block_k):
         raise ValueError(
             f"unsupported flash attention shapes q={q.shape} k={k.shape}"
-        )
-    if not supported(q.shape, k.shape, heads, bwd_block_q, bwd_block_k):
-        raise ValueError(
-            f"unsupported backward tiling for q={q.shape} k={k.shape}"
         )
     return _flash_attention_bsh(q, k, v, scale, heads, block_q, block_k,
                                 bwd_block_q, bwd_block_k)

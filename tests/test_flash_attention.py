@@ -37,8 +37,12 @@ def test_supported_gate():
     assert supported((1, 4096, 320), (1, 4096, 320), 8)
     assert supported((1, 1024, 640), (1, 1024, 640), 8)
     assert supported((1, 16384, 320), (1, 16384, 320), 8)    # streaming: any S
+    assert supported((1, 4000, 320), (1, 4000, 320), 8)   # whole-KV: any S
+    assert supported((1, 2304, 320), (1, 2304, 320), 8)   # 384x384 videos
     assert not supported((1, 4096, 321), (1, 4096, 321), 8)  # heads mismatch
-    assert not supported((1, 4000, 320), (1, 4000, 320), 8)  # uneven q tiling
+    # streaming paths still require even tiles (sk > fwd block_k 4096,
+    # sk*hd > the whole-bwd VMEM bound)
+    assert not supported((1, 20000, 320), (1, 20000, 320), 8)
 
 
 def test_forward_matches_xla():
@@ -77,13 +81,15 @@ def test_head_dims(d, h):
 
 
 def test_rejects_uneven_tiling():
-    # supported() requires the sequence to tile evenly by block_q
+    # the *streaming* paths require the sequence to tile evenly; force
+    # streaming with a small block_k (sk > block_k) and an uneven block_q
     q, k, v = _qkv(3, s=768)
     b, s, h, d = q.shape
     with pytest.raises(ValueError):
         flash_attention(
             q.reshape(b, s, h * d), k.reshape(b, s, h * d),
-            v.reshape(b, s, h * d), scale=1.0, heads=h, block_q=512,
+            v.reshape(b, s, h * d), scale=1.0, heads=h,
+            block_q=512, block_k=256,
         )
 
 
@@ -93,3 +99,36 @@ def test_multiple_kv_blocks_online_softmax():
     out = _flash(q, k, v, D**-0.5, block_q=256)
     ref = _xla_attention(q, k, v, D**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_whole_kv_partial_tile_halving():
+    """Whole-KV path with S not divisible by the default 512 query tile.
+
+    Regression for the partial-final-tile bug: undefined padded q/do/lse
+    rows leaked into the shared dk/dv accumulators (e.g. 384x384 videos,
+    S=2304 = 4.5 x 512; the tile must halve to 256).  Checks fwd AND bwd
+    against XLA."""
+    s = 2304
+    rng = np.random.default_rng(5)
+    shape = (1, s, H, D)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=shape), jnp.float32) for _ in range(3)
+    )
+    scale = D**-0.5
+    out = _flash(q, k, v, scale)
+    ref = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    def f_flash(q, k, v):
+        return jnp.sum(_flash(q, k, v, scale) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) ** 2)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-3, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
