@@ -203,3 +203,33 @@ def test_sample_plain_save_probs(pipeline, tmp_path):
         np.testing.assert_allclose(
             probs.sum(axis=-1), np.ones(probs.shape[:-1]), atol=1e-3
         )
+
+
+def test_non_square_resolution_end_to_end():
+    """Full extract + guided sample at H != W (64x128 pixels -> 8x16
+    latents).  Square shapes hide H/W transpositions in the pixel-major
+    rearranges (spatial attention, temporal (B,F,S,C) packing, upsampling);
+    non-square either crashes or flows through correctly."""
+    unet_cfg = tiny_unet_config()
+    h, w = 8, 16
+    infer_cfg = make_infer_cfg(width=w * 8, height=h * 8, inference_steps=4,
+                               guidance_steps=2, warm_up_steps=1,
+                               cool_up_steps=1)
+    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
+    sample = jnp.zeros((B, F, h, w, 4))
+    ctx = jnp.zeros((B, 77, unet_cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx)
+    pipe = MotionClonePipeline(
+        unet_cfg, NoiseScheduleConfig(), infer_cfg, params, dtype=jnp.float32
+    )
+
+    rng = np.random.default_rng(3)
+    video_latents = jnp.asarray(rng.normal(size=(B, F, h, w, 4)), jnp.float32)
+    uncond, cond = _embs(unet_cfg, seed=9)
+    rep = pipe.extract_motion_representation(video_latents, uncond, seed=42)
+    for name, (values, indices) in rep.items():
+        # tiny config: up_blocks.1 sits at 4x spatial downsample
+        assert values.shape[1] == (h // 4) * (w // 4)
+    out = pipe.sample_latents(uncond, cond, rep, seed=7)
+    assert out.shape == (B, F, h, w, 4)
+    assert np.isfinite(np.asarray(out)).all()
