@@ -47,10 +47,12 @@ def build_parser(default_config: str, default_examples: str) -> argparse.Argumen
     return parser
 
 
-def _setup(args):
-    cfg = load_inference_config(
-        args.inference_config, width=args.W, height=args.H, video_length=args.L
-    )
+def _setup(args, cfg=None):
+    if cfg is None:
+        cfg = load_inference_config(
+            args.inference_config, width=args.W, height=args.H,
+            video_length=args.L,
+        )
     os.makedirs(args.generated_videos_save_dir, exist_ok=True)
     with open(
         os.path.join(args.generated_videos_save_dir, "inference_config.json"), "w"
@@ -65,9 +67,11 @@ def _setup(args):
     return cfg, runtime
 
 
-def run_serial(args) -> None:
-    _, runtime = _setup(args)
-    for example in load_examples(args.examples):
+def run_serial(args, cfg=None, examples=None) -> None:
+    _, runtime = _setup(args, cfg=cfg)
+    if examples is None:
+        examples = load_examples(args.examples)
+    for example in examples:
         out_path = runtime.run_example(
             example,
             motion_rep_dir=args.motion_representation_save_dir,
@@ -97,12 +101,15 @@ def i2v_main(argv: Optional[Sequence[str]] = None) -> None:
         raise ValueError(
             "i2v requires controlnet_path and controlnet_config in the YAML"
         )
-    for example in load_examples(args.examples):
+    examples = list(load_examples(args.examples))
+    for example in examples:
         if not example.condition_image_paths:
             raise ValueError(
                 f"i2v example missing condition_image_paths: {example}"
             )
-    run_serial(args)
+    # pass the validated objects through — the pre-checks and the run see
+    # the same config/examples, parsed once
+    run_serial(args, cfg=cfg, examples=examples)
 
 
 def sweep_main(argv: Optional[Sequence[str]] = None) -> None:

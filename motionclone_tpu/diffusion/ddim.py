@@ -137,9 +137,16 @@ def prev_timesteps(timesteps: np.ndarray) -> np.ndarray:
 def add_noise(
     params: DDIMParams, timestep, x0: jnp.ndarray, noise: jnp.ndarray
 ) -> jnp.ndarray:
-    """x_t = sqrt(a_t) x0 + sqrt(1-a_t) eps (motionclone_functions.py:19-23)."""
-    a = params.alphas_cumprod[timestep].astype(x0.dtype)
-    return a**0.5 * x0 + (1.0 - a) ** 0.5 * noise
+    """x_t = sqrt(a_t) x0 + sqrt(1-a_t) eps (motionclone_functions.py:19-23).
+
+    Schedule math in float32 regardless of the activation dtype (the
+    module convention, as ddim_step); only the result is cast back.
+    """
+    a = params.alphas_cumprod[timestep].astype(jnp.float32)
+    x = a**0.5 * x0.astype(jnp.float32) + (1.0 - a) ** 0.5 * noise.astype(
+        jnp.float32
+    )
+    return x.astype(x0.dtype)
 
 
 def _alpha_at(params: DDIMParams, t) -> jnp.ndarray:

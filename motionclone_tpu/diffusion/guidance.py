@@ -16,7 +16,8 @@ The uint8 index storage preserves the reference's on-disk format
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Tuple
+import json
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -93,12 +94,19 @@ def ramp_scales(
 
 
 def save_motion_representation(
-    path: str, rep: Mapping[str, Tuple[jnp.ndarray, jnp.ndarray]]
+    path: str,
+    rep: Mapping[str, Tuple[jnp.ndarray, jnp.ndarray]],
+    meta: Optional[Mapping[str, Any]] = None,
 ) -> None:
     """Persist {module: (values, indices)} to an .npz file — or, when
     ``path`` ends in ``.pt``/``.pth``, to the reference's torch payload
     (so representations extracted here can be consumed by the CUDA
     reference, see ``_save_motion_representation_torch``).
+
+    ``meta``: optional JSON-able dict recording the settings the rep was
+    extracted under (resolution, video_length, guidance blocks, seed) —
+    used by the runner's disk cache to invalidate stale entries.  Only
+    supported in the .npz format; the reference's .pt carries none.
 
     Module names keep the reference's dotted naming (e.g.
     ``up_blocks.1.motion_modules.0...``) so files are interchangeable
@@ -111,6 +119,8 @@ def save_motion_representation(
     for name, (values, indices) in rep.items():
         flat[f"{name}#values"] = np.asarray(values, dtype=np.float32)
         flat[f"{name}#indices"] = np.asarray(indices, dtype=np.uint8)
+    if meta is not None:
+        flat["#meta"] = np.asarray(json.dumps(dict(meta), sort_keys=True))
     np.savez(path, **flat)
 
 
@@ -130,6 +140,17 @@ def load_motion_representation(path: str) -> Dict[str, Tuple[np.ndarray, np.ndar
             name = key[: -len("#values")]
             rep[name] = (data[key], data[f"{name}#indices"])
     return rep
+
+
+def load_motion_representation_meta(path: str) -> Optional[Dict[str, Any]]:
+    """The ``meta`` dict a .npz representation was saved with, or None
+    (reference .pt payloads and pre-meta files carry none)."""
+    if path.endswith((".pt", ".pth")):
+        return None
+    data = np.load(path)
+    if "#meta" not in data.files:
+        return None
+    return json.loads(str(data["#meta"]))
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,7 @@ from motionclone_tpu.diffusion.guidance import (
     sparsify_top1,
 )
 from motionclone_tpu.models.unet3d import UNet3DConditionModel
+from motionclone_tpu.utils import rng
 
 MotionRep = Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
 
@@ -245,7 +246,9 @@ def make_sampling_fns(
         cfg_scale = infer_cfg.cfg_scale
 
         def controlnet_residuals(latents, t, emb_pair):
-            if controlnet_apply is None:
+            # cn_cond=None on a controlnet-configured pipeline means "no
+            # conditioning for this example" — same contract as _extract
+            if controlnet_apply is None or cn_cond is None:
                 return (None, None), (None, None)
             # batched CFG-pair controlnet forward, residuals split per half
             # (reference :190-208)
@@ -608,7 +611,7 @@ class MotionClonePipeline:
         cn_cond=None,
     ) -> MotionRep:
         """One truncated forward -> sparse motion rep (reference :26-82)."""
-        key = jax.random.PRNGKey(seed)
+        key = rng.seed_key(seed, rng.EXTRACT_NOISE)
         noise = jax.random.normal(key, video_latents.shape, dtype=jnp.float32)
         rep = self.fns.extract(
             self.params, video_latents, noise.astype(video_latents.dtype),
@@ -640,7 +643,7 @@ class MotionClonePipeline:
             cfg.width // 8,
             self.unet_cfg.in_channels,
         )
-        key = jax.random.PRNGKey(seed)
+        key = rng.seed_key(seed, rng.INIT_LATENTS)
         latents = jax.random.normal(key, shape, dtype=jnp.float32).astype(self.dtype)
         return self.fns.sample(
             self.params, latents, uncond_emb, cond_emb, motion_rep,
@@ -674,7 +677,7 @@ class MotionClonePipeline:
             cfg.width // 8,
             self.unet_cfg.in_channels,
         )
-        key = jax.random.PRNGKey(seed)
+        key = rng.seed_key(seed, rng.INIT_LATENTS)
         latents = jax.random.normal(key, shape, dtype=jnp.float32).astype(self.dtype)
         if save_probs_path is not None:
             latents, probs = self.fns.sample_plain_probs(

@@ -24,6 +24,7 @@ from motionclone_tpu.config import (
 )
 from motionclone_tpu.diffusion.guidance import (
     load_motion_representation,
+    load_motion_representation_meta,
     save_motion_representation,
 )
 from motionclone_tpu.io.video import (
@@ -36,6 +37,7 @@ from motionclone_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
 from motionclone_tpu.models.unet3d import UNet3DConditionModel
 from motionclone_tpu.models.vae import AutoencoderKL, VAEConfig, sample_latents
 from motionclone_tpu.pipeline.motionclone import MotionClonePipeline
+from motionclone_tpu.utils import rng
 from motionclone_tpu.weights.load import (
     assemble_pipeline_state_dicts,
     clip_params_from_state_dict,
@@ -44,6 +46,63 @@ from motionclone_tpu.weights.load import (
 )
 
 VAE_SCALING = 0.18215  # vae.config.scaling_factor (motionclone_functions.py:32)
+
+
+def motion_rep_meta(cfg: InferenceConfig, seed_motion: int) -> dict:
+    """The settings a motion representation depends on — the disk cache's
+    validity record (saved into the .npz, compared before reuse)."""
+    return {
+        "height": cfg.height,
+        "width": cfg.width,
+        "video_length": cfg.video_length,
+        "guidance_blocks": list(cfg.motion_guidance_blocks),
+        "add_noise_step": cfg.add_noise_step,
+        "seed_motion": seed_motion,
+    }
+
+
+def locate_cached_rep(
+    motion_rep_dir: str, stem: str, meta: dict
+) -> Tuple[str, Optional[str]]:
+    """(save_path, usable_cached_path_or_None) for a video stem.
+
+    A native ``.npz`` is reusable only when its stored meta matches; a
+    reference-produced ``.pt``/``.pth`` drop-in carries no meta and is
+    trusted as-is (validated structurally on load).
+    """
+    npz = os.path.join(motion_rep_dir, stem + ".npz")
+    if os.path.exists(npz):
+        if load_motion_representation_meta(npz) == meta:
+            return npz, npz
+        return npz, None
+    for ext in (".pt", ".pth"):
+        alt = os.path.join(motion_rep_dir, stem + ext)
+        if os.path.exists(alt):
+            return alt, alt
+    return npz, None
+
+
+def _validate_motion_representation(rep, path: str, cfg: InferenceConfig) -> None:
+    """Fail fast with an actionable error — instead of an opaque jit shape
+    error mid-sampling — when a representation file (possibly a hand-dropped
+    reference .pt) does not fit the current configuration."""
+    from motionclone_tpu.models.unet_blocks import match_guidance
+
+    if not rep:
+        raise ValueError(f"{path}: empty motion representation")
+    blocks = tuple(cfg.motion_guidance_blocks)
+    for name, (values, _indices) in rep.items():
+        if not match_guidance(name, blocks):
+            raise ValueError(
+                f"{path}: module {name!r} does not match the configured "
+                f"motion_guidance_blocks {list(blocks)}; re-extract the "
+                f"representation or fix the config"
+            )
+        if values.shape[-2] != cfg.video_length:
+            raise ValueError(
+                f"{path}: module {name!r} holds {values.shape[-2]} frames; "
+                f"the config expects video_length={cfg.video_length}"
+            )
 
 
 class MotionCloneRuntime:
@@ -60,6 +119,7 @@ class MotionCloneRuntime:
     ):
         self.infer_cfg = infer_cfg
         self.dtype = dtype
+        self.attention_impl = attention_impl
 
         model_config_path = os.path.join(config_root, infer_cfg.model_config)
         self.unet_cfg, self.sched_cfg = load_model_config(model_config_path)
@@ -192,7 +252,7 @@ class MotionCloneRuntime:
         with a sampled posterior draw (motionclone_functions.py:31-33)."""
         x = jnp.asarray(video, dtype=self.dtype)[None]
         mean, logvar = self._vae_encode(self.vae_params, x)
-        z = sample_latents(mean, logvar, jax.random.PRNGKey(seed))
+        z = sample_latents(mean, logvar, rng.seed_key(seed, rng.VAE_POSTERIOR))
         return z * VAE_SCALING
 
     def decode_latents(self, latents: jnp.ndarray) -> np.ndarray:
@@ -242,14 +302,6 @@ class MotionCloneRuntime:
         seed_motion = example.seed if example.seed is not None else default_seed
         video_path = os.path.join(config_root, example.video_path)
         stem = os.path.splitext(os.path.basename(example.video_path))[0]
-        rep_path = os.path.join(motion_rep_dir, stem + ".npz")
-        # a reference-produced torch payload dropped into the rep dir is a
-        # drop-in substitute for extraction (guidance.py .pt interop)
-        for alt in (stem + ".pt", stem + ".pth"):
-            alt_path = os.path.join(motion_rep_dir, alt)
-            if not os.path.exists(rep_path) and os.path.exists(alt_path):
-                rep_path = alt_path
-                break
 
         new_prompt = example.new_prompt + cfg.positive_prompt
         use_controlnet = self.cn_cfg is not None
@@ -261,8 +313,21 @@ class MotionCloneRuntime:
 
         t0 = _time.time()
 
-        # 1. motion representation (cached on disk, reference :87-90)
-        if not os.path.exists(rep_path):
+        # 1. motion representation (cached on disk, reference :87-90).
+        # The cache key is the video stem; the meta record invalidates
+        # entries extracted under different settings (resolution, length,
+        # guidance blocks, seed) — the reference re-extracts every run, so
+        # stale-cache reuse would be a hazard it never has.  A reference
+        # .pt/.pth drop-in is used as-is (guidance.py interop).
+        rep_meta = motion_rep_meta(cfg, seed_motion)
+        rep_path, cached = locate_cached_rep(motion_rep_dir, stem, rep_meta)
+        if cached is None and os.path.exists(rep_path) and verbose:
+            print(
+                f"  cached {os.path.basename(rep_path)} was extracted "
+                f"under different settings; re-extracting",
+                flush=True,
+            )
+        if cached is None:
             video = preprocess_video(
                 video_path, cfg.height, cfg.width, cfg.video_length
             )
@@ -285,9 +350,10 @@ class MotionCloneRuntime:
             rep = self.pipeline.extract_motion_representation(
                 video_latents, uncond_emb, seed=seed_motion, cn_cond=cn_cond
             )
-            save_motion_representation(rep_path, rep)
+            save_motion_representation(rep_path, rep, meta=rep_meta)
             t0 = _log("motion representation extracted", t0)
         rep = load_motion_representation(rep_path)
+        _validate_motion_representation(rep, rep_path, cfg)
 
         # 2. guided sampling
         seed = seed_motion  # reference: seed = seed_motion (:93)
@@ -301,7 +367,9 @@ class MotionCloneRuntime:
             if self.cn_cfg.use_simplified_condition_embedding:
                 x = jnp.asarray(imgs01 * 2.0 - 1.0, dtype=self.dtype)[None]
                 mean, logvar = self._vae_encode(self.vae_params, x)
-                z = sample_latents(mean, logvar, jax.random.PRNGKey(seed))
+                z = sample_latents(
+                    mean, logvar, rng.seed_key(seed, rng.CN_IMAGE_POSTERIOR)
+                )
                 frames_cond = z * VAE_SCALING
             else:
                 frames_cond = jnp.asarray(imgs01, dtype=self.dtype)[None]

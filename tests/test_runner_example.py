@@ -28,8 +28,10 @@ def _stub_runtime(calls):
         np.zeros((1, 77, 8), np.float32),
         np.ones((1, 77, 8), np.float32),
     )
+    # (b, s, heads, F, 1) with F == the stub config's video_length
     rep = {"up_blocks.1.motion_modules.0": (
-        np.ones((1, 4, 2, 3), np.float32), np.zeros((1, 4, 2, 3), np.uint8)
+        np.ones((1, 4, 2, 4, 1), np.float32),
+        np.zeros((1, 4, 2, 4, 1), np.uint8),
     )}
 
     def extract(video_latents, uncond_emb, seed, cn_cond=None):
@@ -102,8 +104,8 @@ def test_run_example_uses_reference_pt_rep(tmp_path):
 
     rep_dir = tmp_path / "reps"
     os.makedirs(rep_dir)
-    values = np.full((4, 2, 3, 1), 0.5, np.float32)
-    indices = np.zeros((4, 2, 3, 1), np.uint8)
+    values = np.full((4, 2, 4, 1), 0.5, np.float32)
+    indices = np.zeros((4, 2, 4, 1), np.uint8)
     torch.save(
         {"up_blocks.1.motion_modules.0": [
             torch.from_numpy(values), torch.from_numpy(indices)
@@ -124,3 +126,29 @@ def test_run_example_uses_reference_pt_rep(tmp_path):
     # sample ran off the .pt payload; extraction never happened
     assert calls == ["sample"]
     assert not os.path.exists(rep_dir / "ref.npz")
+
+
+def test_rep_cache_invalidated_on_setting_change(tmp_path):
+    """A cached rep extracted under different settings (here: another
+    seed_motion) is not reused — the meta record forces re-extraction."""
+    frames = np.random.default_rng(2).integers(
+        0, 255, size=(6, 32, 32, 3), dtype=np.uint8
+    )
+    src = str(tmp_path / "ref.mp4")
+    write_video(src, frames, fps=8)
+
+    calls = []
+    rt = _stub_runtime(calls)
+    kw = dict(
+        motion_rep_dir=str(tmp_path / "reps"),
+        output_dir=str(tmp_path / "out"),
+        config_root=str(tmp_path),
+        verbose=False,
+    )
+    rt.run_example(Example(video_path="ref.mp4", new_prompt="a cat", seed=7), **kw)
+    rt.run_example(Example(video_path="ref.mp4", new_prompt="a cat", seed=8), **kw)
+    # second run extracted again (seed_motion differs from the cached meta)
+    assert calls == ["extract", "sample", "extract", "sample"]
+    # and the refreshed cache now hits for seed 8
+    rt.run_example(Example(video_path="ref.mp4", new_prompt="a cat", seed=8), **kw)
+    assert calls == ["extract", "sample", "extract", "sample", "sample"]

@@ -1,0 +1,150 @@
+"""run_sweep end to end on a stubbed tiny runtime (2 examples, 2 devices).
+
+Covers the sweep glue no other test touches: per-chunk host orchestration,
+the motion-representation disk cache (save on miss, full-chunk skip on
+hit), the single batched CLIP dispatch, and output naming.  Sharded
+numerical parity lives in test_parallel.py.
+"""
+
+import os
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionclone_tpu.config import (
+    Example,
+    InferenceConfig,
+    NoiseScheduleConfig,
+    tiny_unet_config,
+)
+from motionclone_tpu.io.video import write_video
+from motionclone_tpu.models.unet3d import UNet3DConditionModel
+from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+from motionclone_tpu.pipeline.sweep import run_sweep
+
+F, H, W = 4, 8, 8
+
+
+def _stub_runtime():
+    unet_cfg = tiny_unet_config()
+    sched_cfg = NoiseScheduleConfig()
+    infer_cfg = InferenceConfig(
+        inference_steps=3,
+        guidance_steps=1,
+        guidance_fraction=0.3,
+        warm_up_steps=1,
+        cool_up_steps=0,
+        motion_guidance_weight=10.0,
+        motion_guidance_blocks=("up_blocks.1",),
+        width=W * 8,
+        height=H * 8,
+        video_length=F,
+    )
+    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
+    sample0 = jnp.zeros((1, F, H, W, 4))
+    ctx0 = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    )
+
+    dim = unet_cfg.cross_attention_dim
+    table = np.random.default_rng(7).normal(size=(500, dim)).astype(np.float32)
+
+    def _tokenize(text):
+        # deterministic fake ids per text
+        h = abs(hash(text)) % 400
+        return jnp.full((1, 77), h, jnp.int32)
+
+    def _clip_apply(p, ids):
+        return jnp.asarray(table[np.asarray(ids)])
+
+    def _vae_encode(p, x):
+        # (B, F, H*8, W*8, 3) pixels -> (B, F, H, W, 4) mean/logvar
+        b, f = x.shape[:2]
+        pooled = jnp.mean(
+            x.reshape(b, f, H, 8, W, 8, 3), axis=(3, 5)
+        ).astype(jnp.float32)
+        mean = jnp.concatenate(
+            [pooled, jnp.zeros((b, f, H, W, 1))], axis=-1
+        )
+        return mean, jnp.full_like(mean, -10.0)
+
+    rt = SimpleNamespace(
+        infer_cfg=infer_cfg,
+        unet_cfg=unet_cfg,
+        sched_cfg=sched_cfg,
+        dtype=jnp.float32,
+        attention_impl="xla",
+        cn_cfg=None,
+        clip_params=None,
+        vae_params=None,
+        pipeline=SimpleNamespace(
+            fns=fns, params=params, cn_params=None, controlnet_apply=None
+        ),
+        _tokenize=_tokenize,
+        _clip_apply=_clip_apply,
+        _vae_encode=_vae_encode,
+        decode_latents=lambda z: np.zeros((F, H * 8, W * 8, 3), np.uint8),
+    )
+    return rt
+
+
+def test_run_sweep_end_to_end_with_rep_cache(tmp_path):
+    rng_np = np.random.default_rng(0)
+    examples = []
+    for i in range(2):
+        frames = rng_np.integers(0, 255, size=(6, H * 8, W * 8, 3), dtype=np.uint8)
+        src = str(tmp_path / f"vid{i}.mp4")
+        write_video(src, frames, fps=8)
+        examples.append(
+            Example(video_path=f"vid{i}.mp4", new_prompt=f"prompt {i}", seed=i)
+        )
+
+    rt = _stub_runtime()
+    rep_dir = str(tmp_path / "reps")
+    out_dir = str(tmp_path / "out")
+    outs = run_sweep(
+        rt, examples,
+        motion_rep_dir=rep_dir,
+        output_dir=out_dir,
+        config_root=str(tmp_path),
+        num_devices=2,
+    )
+    assert len(outs) == 2
+    for p in outs:
+        assert os.path.getsize(p) > 0
+    assert os.path.basename(outs[0]) == "vid0_prompt_00_0.mp4"
+
+    # reps were persisted per example, with the cache-validity meta
+    from motionclone_tpu.diffusion.guidance import (
+        load_motion_representation,
+        load_motion_representation_meta,
+    )
+    from motionclone_tpu.pipeline.runner import motion_rep_meta
+
+    for i in range(2):
+        path = os.path.join(rep_dir, f"vid{i}.npz")
+        assert os.path.exists(path)
+        meta = load_motion_representation_meta(path)
+        assert meta == motion_rep_meta(rt.infer_cfg, i)
+        rep = load_motion_representation(path)
+        assert rep and all(v.shape[0] == 1 for v, _ in rep.values())
+
+    # second run: full-chunk cache hit (extraction + VAE encode skipped);
+    # outputs identical
+    calls = []
+    orig = rt._vae_encode
+    rt._vae_encode = lambda p, x: (calls.append(1), orig(p, x))[1]
+    outs2 = run_sweep(
+        rt, examples,
+        motion_rep_dir=rep_dir,
+        output_dir=out_dir,
+        config_root=str(tmp_path),
+        num_devices=2,
+    )
+    assert calls == []  # cache hit -> no VAE encode
+    with open(outs[0], "rb") as a, open(outs2[0], "rb") as b:
+        assert a.read() == b.read()
