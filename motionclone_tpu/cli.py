@@ -39,6 +39,15 @@ def build_parser(default_config: str, default_examples: str) -> argparse.Argumen
     parser.add_argument("--config-root", type=str, default=".")
     parser.add_argument("--float32", action="store_true")
     parser.add_argument(
+        "--attention-impl",
+        type=str,
+        default="auto",
+        choices=["auto", "xla", "chunked", "flash", "fused"],
+        help="attention backend (the reference's --without-xformers analog: "
+        "'xla' is the plain einsum path, 'auto' picks the Pallas kernels "
+        "on TPU)",
+    )
+    parser.add_argument(
         "--resume",
         action="store_true",
         help="checkpoint sampling progress per chunk and continue an "
@@ -62,6 +71,7 @@ def _setup(args, cfg=None):
         args.pretrained_model_path,
         cfg,
         dtype=jnp.bfloat16 if not args.float32 else jnp.float32,
+        attention_impl=args.attention_impl,
         config_root=args.config_root,
     )
     return cfg, runtime
