@@ -53,6 +53,15 @@ def build_parser(default_config: str, default_examples: str) -> argparse.Argumen
         help="checkpoint sampling progress per chunk and continue an "
         "interrupted run from the last finished chunk",
     )
+    parser.add_argument(
+        "--frame-shard",
+        type=int,
+        default=0,
+        metavar="N",
+        help="split the frame axis over N local devices (single-video "
+        "latency scaling; N must divide --L; forces the pure-XLA compute "
+        "paths)",
+    )
     return parser
 
 
@@ -73,6 +82,7 @@ def _setup(args, cfg=None):
         dtype=jnp.bfloat16 if not args.float32 else jnp.float32,
         attention_impl=args.attention_impl,
         config_root=args.config_root,
+        frame_shard=args.frame_shard,
     )
     return cfg, runtime
 
@@ -136,6 +146,11 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
         "(even device count; best when chips outnumber examples)",
     )
     args = parser.parse_args(argv)
+    if args.frame_shard:
+        raise SystemExit(
+            "--frame-shard is a single-video latency axis; sweeps shard "
+            "examples instead (use t2v/i2v drivers for frame sharding)"
+        )
     _, runtime = _setup(args)
     examples = load_examples(args.examples)
     print(f"{len(examples)} examples over {len(jax.devices())} devices")

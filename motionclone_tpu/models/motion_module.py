@@ -71,6 +71,7 @@ class VersatileAttention(nn.Module):
     query_dim: int
     use_pos_encoding: bool = True
     pos_encoding_max_len: int = 24
+    attention_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -106,7 +107,12 @@ class VersatileAttention(nn.Module):
             probs = p.reshape(b, s, self.heads, f, f)
             out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(vp.dtype), vp)
             out = out.reshape(b, s, f, inner).transpose(0, 2, 1, 3)
-        elif temporal_kernel_supported(f, s):
+        elif (
+            self.attention_impl not in ("xla", "chunked")
+            and temporal_kernel_supported(f, s)
+        ):
+            # "xla"/"chunked" force pure-XLA math — required under GSPMD
+            # sharding (Pallas custom calls have no partitioning rule)
             out = temporal_attention(q, k, v, heads=self.heads, scale=scale)
         else:
             qp = _to_pixel_major(q, b, f, s, self.heads, self.dim_head)
@@ -128,6 +134,7 @@ class TemporalTransformerBlock(nn.Module):
     attention_block_types: Tuple[str, ...]
     use_pos_encoding: bool
     pos_encoding_max_len: int
+    attention_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -144,6 +151,7 @@ class TemporalTransformerBlock(nn.Module):
                 query_dim=self.dim,
                 use_pos_encoding=self.use_pos_encoding,
                 pos_encoding_max_len=self.pos_encoding_max_len,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"attention_blocks_{i}",
             )(h, return_probs=return_probs)
@@ -252,6 +260,7 @@ class TemporalTransformer3D(nn.Module):
                 attention_block_types=self.cfg.attention_block_types,
                 use_pos_encoding=self.cfg.temporal_position_encoding,
                 pos_encoding_max_len=self.cfg.temporal_position_encoding_max_len,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(h, return_probs=return_probs)

@@ -55,10 +55,45 @@ def make_mesh_2d(
     )
 
 
+def make_mesh_video(
+    frames: int, cfg: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """A (cfg, frames) mesh for **single-video latency scaling**.
+
+    The reference is strictly single-GPU (SURVEY §2.5); this is the additive
+    TPU-native axis that cuts per-video wall time instead of throughput:
+    almost all UNet3D work — convolutions, GroupNorms, spatial
+    self/cross-attention — is *per-frame independent* (frames fold into the
+    batch, reference resnet.py:10-29, attention.py:99), so sharding the
+    frame axis over ``frames`` devices parallelizes it perfectly; only the
+    temporal motion modules (f=16 sequences per pixel) exchange data across
+    chips, and XLA emits those collectives over ICI.  ``cfg=2`` additionally
+    splits the classifier-free-guidance pair (uncond/cond UNet evaluations)
+    across a second axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = cfg * frames
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(
+        np.asarray(devices[:n]).reshape(cfg, frames),
+        axis_names=("cfg", "frames"),
+    )
+
+
+def frame_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (B, F, H, W, C) video tensors: frame axis over
+    ``frames``, everything else replicated within a cfg group."""
+    return NamedSharding(mesh, P(None, "frames"))
+
+
 def cfg_pair_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for ``[uncond-block, cond-block]`` batch-2B tensors: the
-    leading axis splits cfg-major (the two halves) then data (examples)."""
-    return NamedSharding(mesh, P(("cfg", "data")))
+    leading axis splits cfg-major (the two halves) then data (examples).
+    On a (cfg, frames) video mesh the leading axis splits over cfg only."""
+    axes = ("cfg", "data") if "data" in mesh.axis_names else ("cfg",)
+    return NamedSharding(mesh, P(axes))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

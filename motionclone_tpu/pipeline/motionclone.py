@@ -108,6 +108,7 @@ def make_sampling_fns(
     remat_guided: bool = False,
     controlnet_apply: Optional[Callable] = None,
     cfg_pair_sharding=None,
+    frame_sharding=None,
 ) -> SamplingFns:
     """Build the jitted extract/sample functions for one workload config.
 
@@ -124,6 +125,20 @@ def make_sampling_fns(
     batch-2 pair form (``guided_step_pair``) so the conditional
     forward+backward and the unconditional forward overlap across the
     ``cfg`` groups instead of running serially on every chip.
+
+    ``frame_sharding``: optional ``NamedSharding`` (see
+    parallel.mesh.frame_sharding) splitting the **frame axis** of every
+    (B, F, H, W, C) video tensor over the mesh's ``frames`` axis — the
+    single-video latency axis (additive over the reference, SURVEY §2.5).
+    Convolutions, GroupNorms, and spatial attention are per-frame
+    independent (the reference folds frames into batch, resnet.py:10-29,
+    attention.py:99), so they run fully local; only the temporal motion
+    modules mix frames, and GSPMD emits those collectives over ICI.
+    Because GSPMD cannot partition Pallas custom calls, enabling this
+    forces the pure-XLA compute paths unless an explicit non-Pallas impl
+    ("xla"/"chunked") was requested.  Combine with ``cfg_pair_sharding``
+    over a ``(cfg, frames)`` mesh (parallel.mesh.make_mesh_video) to also
+    split the CFG pair.
     """
     ddim = make_ddim_params(sched_cfg)
     if guided_attention_impl is None:
@@ -138,6 +153,15 @@ def make_sampling_fns(
         # non-differentiated passes run whole transformer blocks as single
         # Pallas kernels (ops/fused_block.py)
         plain_impl = "fused"
+    if frame_sharding is not None:
+        # GSPMD has no partitioning rule for Pallas custom calls: every op
+        # in the frame-sharded graph must be pure XLA ("xla" disables the
+        # kernels at each dispatch site, including the temporal-attention
+        # kernel).  Explicit "chunked" is also Pallas-free and honored.
+        if plain_impl not in ("xla", "chunked"):
+            plain_impl = "xla"
+        if guided_attention_impl not in ("xla", "chunked"):
+            guided_attention_impl = "xla"
     cut = guidance_cut_index(infer_cfg.motion_guidance_blocks)
     guided_unet = UNet3DConditionModel(
         cfg=unet_cfg,
@@ -174,12 +198,31 @@ def make_sampling_fns(
     ts_vanilla = jnp.asarray(timesteps[g:])
     tp_vanilla = jnp.asarray(t_prev[g:])
 
+    # frame-axis sharding (single-video latency): constrain (B, F, H, W, C)
+    # tensors at the step boundaries; GSPMD propagates through the UNet
+    pair_video_sharding = None
+    if cfg_pair_sharding is not None and frame_sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        # batch-2B pair tensors: cfg groups on the batch axis AND frame
+        # splits within each group
+        pair_video_sharding = NamedSharding(
+            frame_sharding.mesh,
+            PartitionSpec(cfg_pair_sharding.spec[0], frame_sharding.spec[1]),
+        )
+
+    def frame_constrain(x):
+        if frame_sharding is None or x is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, frame_sharding)
+
     # ------------------------------------------------------------------
     # extraction (reference motionclone_functions.py:26-82)
     # ------------------------------------------------------------------
 
     def _extract(params, video_latents, noise, uncond_emb, cn_params=None,
                  cn_cond=None):
+        video_latents = frame_constrain(video_latents)
         noisy = add_noise(ddim, infer_cfg.add_noise_step, video_latents, noise)
         t = jnp.asarray(infer_cfg.add_noise_step)
         down_res, mid_res = None, None
@@ -207,6 +250,7 @@ def make_sampling_fns(
     # ------------------------------------------------------------------
 
     def _unet_loss(params, latents, t, cond_emb, motion_rep, cn_res):
+        latents = frame_constrain(latents)
         down_res, mid_res = cn_res
         noise_pred, probs = guided_unet.apply(
             params,
@@ -263,6 +307,7 @@ def make_sampling_fns(
 
         def guided_step(latents, step):
             t, tp, ramp = step
+            latents = frame_constrain(latents)
             cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
             uncond_pred, _ = plain_unet.apply(
                 params,
@@ -280,12 +325,19 @@ def make_sampling_fns(
             new_latents = ddim_step(
                 ddim, noise_pred, t, tp, latents, score=grad, guidance_scale=1.0
             )
-            return new_latents, loss
+            return frame_constrain(new_latents), loss
 
         def pair_constrain(x):
-            if cfg_pair_sharding is None or x is None:
+            if x is None:
                 return x
-            return jax.lax.with_sharding_constraint(x, cfg_pair_sharding)
+            if cfg_pair_sharding is None:
+                # frame-only sharding: video tensors (incl. batch-2B pairs)
+                # still split on the frame axis
+                return frame_constrain(x) if x.ndim == 5 else x
+            s = cfg_pair_sharding
+            if pair_video_sharding is not None and x.ndim == 5:
+                s = pair_video_sharding
+            return jax.lax.with_sharding_constraint(x, s)
 
         def guided_step_pair(latents, step):
             """Guided step as one CFG-pair computation, sharded over ``cfg``.
@@ -302,6 +354,7 @@ def make_sampling_fns(
             be pure overhead there.
             """
             t, tp, ramp = step
+            latents = frame_constrain(latents)
             b = latents.shape[0]
             if controlnet_apply is not None:
                 lat2_cn = jnp.concatenate([latents, latents], axis=0)
@@ -336,13 +389,14 @@ def make_sampling_fns(
             new_latents = ddim_step(
                 ddim, noise_pred, t, tp, latents, score=grad, guidance_scale=1.0
             )
-            return new_latents, loss
+            return frame_constrain(new_latents), loss
 
         if cfg_pair_sharding is not None:
             guided_step = guided_step_pair
 
         def vanilla_step(latents, step):
             t, tp = step
+            latents = frame_constrain(latents)
             cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
             if cn_u[0] is None:
                 down_res, mid_res = None, None
@@ -368,7 +422,7 @@ def make_sampling_fns(
             uncond_pred, cond_pred = pred2[:b], pred2[b:]
             noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
             new_latents = ddim_step(ddim, noise_pred, t, tp, latents)
-            return new_latents, jnp.zeros(())
+            return frame_constrain(new_latents), jnp.zeros(())
 
         return guided_step, vanilla_step
 
@@ -585,6 +639,7 @@ class MotionClonePipeline:
         attention_impl: str = "auto",
         controlnet_apply=None,
         cn_params=None,
+        frame_sharding=None,
     ):
         self.unet_cfg = unet_cfg
         self.sched_cfg = sched_cfg
@@ -594,6 +649,7 @@ class MotionClonePipeline:
         self.text_encoder = text_encoder
         self.cn_params = cn_params
         self.controlnet_apply = controlnet_apply
+        self.frame_sharding = frame_sharding
         self.fns = make_sampling_fns(
             unet_cfg,
             sched_cfg,
@@ -601,6 +657,7 @@ class MotionClonePipeline:
             dtype=dtype,
             attention_impl=attention_impl,
             controlnet_apply=controlnet_apply,
+            frame_sharding=frame_sharding,
         )
         self.dtype = dtype
 
@@ -645,6 +702,8 @@ class MotionClonePipeline:
         )
         key = rng.seed_key(seed, rng.INIT_LATENTS)
         latents = jax.random.normal(key, shape, dtype=jnp.float32).astype(self.dtype)
+        if self.frame_sharding is not None:
+            latents = jax.device_put(latents, self.frame_sharding)
         return self.fns.sample(
             self.params, latents, uncond_emb, cond_emb, motion_rep,
             self.cn_params, cn_cond,

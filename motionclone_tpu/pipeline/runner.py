@@ -116,10 +116,31 @@ class MotionCloneRuntime:
         dtype: jnp.dtype = jnp.bfloat16,
         attention_impl: str = "auto",
         config_root: str = ".",
+        frame_shard: int = 0,
     ):
+        """``frame_shard``: split the frame axis of every video tensor over
+        that many local devices (single-video latency scaling,
+        parallel.mesh.make_mesh_video).  0 disables.  Requires
+        ``video_length %% frame_shard == 0``; forces the pure-XLA compute
+        paths (GSPMD cannot partition Pallas custom calls)."""
         self.infer_cfg = infer_cfg
         self.dtype = dtype
         self.attention_impl = attention_impl
+        self.frame_sharding = None
+        if frame_shard:
+            from motionclone_tpu.parallel.mesh import (
+                frame_sharding as _frame_sharding,
+                make_mesh_video,
+            )
+
+            if infer_cfg.video_length % frame_shard:
+                raise ValueError(
+                    f"--frame-shard {frame_shard} must divide "
+                    f"video_length={infer_cfg.video_length}"
+                )
+            self.frame_sharding = _frame_sharding(
+                make_mesh_video(frames=frame_shard)
+            )
 
         model_config_path = os.path.join(config_root, infer_cfg.model_config)
         self.unet_cfg, self.sched_cfg = load_model_config(model_config_path)
@@ -196,6 +217,16 @@ class MotionCloneRuntime:
             cn_model = SparseControlNetModel(cfg=self.cn_cfg, dtype=dtype)
             controlnet_apply = make_controlnet_apply(cn_model)
 
+        if self.frame_sharding is not None:
+            # replicate the heavy parameter trees across the frame mesh so
+            # the sharded steps read them locally (no per-step broadcast)
+            from motionclone_tpu.parallel.mesh import shard_params
+
+            mesh = self.frame_sharding.mesh
+            unet_params = shard_params(unet_params, mesh)
+            if cn_params is not None:
+                cn_params = shard_params(cn_params, mesh)
+
         self.pipeline = MotionClonePipeline(
             self.unet_cfg,
             self.sched_cfg,
@@ -205,6 +236,7 @@ class MotionCloneRuntime:
             attention_impl=attention_impl,
             controlnet_apply=controlnet_apply,
             cn_params=cn_params,
+            frame_sharding=self.frame_sharding,
         )
 
         self._vae_encode = jax.jit(

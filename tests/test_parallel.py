@@ -264,6 +264,145 @@ def test_sharded_sample_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+def test_frame_sharded_matches_unsharded():
+    """Frame-axis (single-video latency) sharding reproduces the unsharded
+    result: (B, F, H, W, C) tensors split over a ``frames`` mesh axis, with
+    the temporal-attention collectives emitted by GSPMD."""
+    from motionclone_tpu.parallel.mesh import frame_sharding, make_mesh_video
+
+    unet_cfg = tiny_unet_config()
+    sched_cfg = NoiseScheduleConfig()
+    infer_cfg = InferenceConfig(
+        inference_steps=3,
+        guidance_steps=2,
+        guidance_fraction=0.3,
+        warm_up_steps=1,
+        cool_up_steps=1,
+        motion_guidance_weight=50.0,
+        motion_guidance_blocks=("up_blocks.1",),
+        width=W * 8,
+        height=H * 8,
+        video_length=F,
+    )
+    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
+    sample0 = jnp.zeros((1, F, H, W, 4))
+    ctx0 = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
+
+    rng = np.random.default_rng(2)
+    latents = jnp.asarray(rng.normal(size=(1, F, H, W, 4)), jnp.float32)
+    uncond = jnp.asarray(rng.normal(size=(1, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(1, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    s_hw = (H // 4) * (W // 4)
+    heads = unet_cfg.motion_module.num_attention_heads
+    rep = {}
+    for m in range(2):
+        for a in range(2):
+            name = (
+                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
+                f".transformer_blocks.0.attention_blocks.{a}"
+            )
+            rep[name] = (
+                jnp.asarray(rng.uniform(0.2, 0.9, size=(1, s_hw, heads, F, 1)), jnp.float32),
+                jnp.asarray(rng.integers(0, F, size=(1, s_hw, heads, F, 1)), np.uint8),
+            )
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    )
+    ref = np.asarray(
+        fns_ref.sample(params, latents, uncond, cond, rep, None, None)
+    )
+
+    mesh = make_mesh_video(frames=F)  # F frames over F devices, cfg=1
+    fsh = frame_sharding(mesh)
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        frame_sharding=fsh,
+    )
+    p = shard_params(params, mesh)
+    with mesh:
+        out = fns.sample(
+            p,
+            jax.device_put(latents, fsh),
+            uncond, cond, rep, None, None,
+        )
+        out.block_until_ready()
+    assert out.sharding.is_equivalent_to(fsh, out.ndim)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_frame_and_cfg_pair_sharding_matches_unsharded():
+    """(cfg, frames) mesh: CFG pair over ``cfg`` AND frames over ``frames``
+    — the full single-video latency layout on 2x4 chips."""
+    from motionclone_tpu.parallel.mesh import (
+        cfg_pair_sharding as cfg_pair,
+        frame_sharding,
+        make_mesh_video,
+    )
+
+    unet_cfg = tiny_unet_config()
+    sched_cfg = NoiseScheduleConfig()
+    infer_cfg = InferenceConfig(
+        inference_steps=3,
+        guidance_steps=1,
+        guidance_fraction=0.3,
+        warm_up_steps=1,
+        cool_up_steps=0,
+        motion_guidance_weight=50.0,
+        motion_guidance_blocks=("up_blocks.1",),
+        width=W * 8,
+        height=H * 8,
+        video_length=F,
+    )
+    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
+    sample0 = jnp.zeros((1, F, H, W, 4))
+    ctx0 = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
+
+    rng = np.random.default_rng(3)
+    latents = jnp.asarray(rng.normal(size=(1, F, H, W, 4)), jnp.float32)
+    uncond = jnp.asarray(rng.normal(size=(1, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(1, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    s_hw = (H // 4) * (W // 4)
+    heads = unet_cfg.motion_module.num_attention_heads
+    rep = {}
+    for m in range(2):
+        for a in range(2):
+            name = (
+                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
+                f".transformer_blocks.0.attention_blocks.{a}"
+            )
+            rep[name] = (
+                jnp.asarray(rng.uniform(0.2, 0.9, size=(1, s_hw, heads, F, 1)), jnp.float32),
+                jnp.asarray(rng.integers(0, F, size=(1, s_hw, heads, F, 1)), np.uint8),
+            )
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    )
+    ref = np.asarray(
+        fns_ref.sample(params, latents, uncond, cond, rep, None, None)
+    )
+
+    mesh = make_mesh_video(frames=F, cfg=2)  # 2 x F devices
+    fsh = frame_sharding(mesh)
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        cfg_pair_sharding=cfg_pair(mesh),
+        frame_sharding=fsh,
+    )
+    p = shard_params(params, mesh)
+    with mesh:
+        out = fns.sample(
+            p,
+            jax.device_put(latents, fsh),
+            uncond, cond, rep, None, None,
+        )
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
 def test_sweep_cfg_pair_validates_device_count(tmp_path):
     """cfg_pair sweeps need an even device count (pairs ride the cfg axis)."""
     import types
