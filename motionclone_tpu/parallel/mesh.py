@@ -71,6 +71,8 @@ def make_mesh_video(
     splits the classifier-free-guidance pair (uncond/cond UNet evaluations)
     across a second axis.
     """
+    if frames < 1 or cfg < 1:
+        raise ValueError(f"frames={frames} and cfg={cfg} must be >= 1")
     if devices is None:
         devices = jax.devices()
     n = cfg * frames

@@ -155,13 +155,15 @@ def make_sampling_fns(
         plain_impl = "fused"
     if frame_sharding is not None:
         # GSPMD has no partitioning rule for Pallas custom calls: every op
-        # in the frame-sharded graph must be pure XLA ("xla" disables the
-        # kernels at each dispatch site, including the temporal-attention
-        # kernel).  Explicit "chunked" is also Pallas-free and honored.
+        # in the frame-sharded graph must be pure XLA.  Default to the
+        # query-chunked path, which bounds the materialized attention
+        # logits to (chunk x kv) per head — at 512^2 the plain einsum path
+        # would materialize multi-GB (BF/N, heads, 4096, 4096) probability
+        # tensors per chip.  Explicit "xla"/"chunked" are honored.
         if plain_impl not in ("xla", "chunked"):
-            plain_impl = "xla"
+            plain_impl = "chunked"
         if guided_attention_impl not in ("xla", "chunked"):
-            guided_attention_impl = "xla"
+            guided_attention_impl = "chunked"
     cut = guidance_cut_index(infer_cfg.motion_guidance_blocks)
     guided_unet = UNet3DConditionModel(
         cfg=unet_cfg,

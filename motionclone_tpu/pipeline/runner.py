@@ -121,7 +121,7 @@ class MotionCloneRuntime:
         """``frame_shard``: split the frame axis of every video tensor over
         that many local devices (single-video latency scaling,
         parallel.mesh.make_mesh_video).  0 disables.  Requires
-        ``video_length %% frame_shard == 0``; forces the pure-XLA compute
+        ``video_length % frame_shard == 0``; forces the pure-XLA compute
         paths (GSPMD cannot partition Pallas custom calls)."""
         self.infer_cfg = infer_cfg
         self.dtype = dtype
@@ -133,9 +133,9 @@ class MotionCloneRuntime:
                 make_mesh_video,
             )
 
-            if infer_cfg.video_length % frame_shard:
+            if frame_shard < 1 or infer_cfg.video_length % frame_shard:
                 raise ValueError(
-                    f"--frame-shard {frame_shard} must divide "
+                    f"--frame-shard {frame_shard} must be >= 1 and divide "
                     f"video_length={infer_cfg.video_length}"
                 )
             self.frame_sharding = _frame_sharding(
@@ -214,7 +214,13 @@ class MotionCloneRuntime:
             cn_params = controlnet_params_from_state_dict(
                 cn_sd, self.cn_cfg, dtype=np_dtype
             )
-            cn_model = SparseControlNetModel(cfg=self.cn_cfg, dtype=dtype)
+            # the controlnet runs inside the same jitted steps as the UNet:
+            # under frame sharding its Pallas attention kernels must be
+            # forced off too (GSPMD cannot partition custom calls)
+            cn_impl = "chunked" if self.frame_sharding is not None else attention_impl
+            cn_model = SparseControlNetModel(
+                cfg=self.cn_cfg, attention_impl=cn_impl, dtype=dtype
+            )
             controlnet_apply = make_controlnet_apply(cn_model)
 
         if self.frame_sharding is not None:

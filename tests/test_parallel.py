@@ -23,20 +23,15 @@ from motionclone_tpu.pipeline.sweep import batch_examples
 
 B, F, H, W = 4, 4, 8, 8  # batch of 4 examples over a 4-device mesh
 
+def _tiny_setup(batch: int, seed: int, **cfg_overrides):
+    """Shared fixture: tiny UNet + config + RNG inputs + motion rep.
 
-def test_batch_examples_padding():
-    exs = [Example(video_path=f"v{i}.mp4", new_prompt="p") for i in range(5)]
-    batches = batch_examples(exs, 4)
-    assert len(batches) == 2
-    assert len(batches[0][0]) == 4 and batches[0][1] == 4
-    assert len(batches[1][0]) == 4 and batches[1][1] == 1
-    assert batches[1][0][1].video_path == "v4.mp4"  # padded by repetition
-
-
-def test_sharded_batch_matches_per_example():
+    Returns (unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond,
+    rep) with ``batch`` examples drawn from ``np.random.default_rng(seed)``.
+    """
     unet_cfg = tiny_unet_config()
     sched_cfg = NoiseScheduleConfig()
-    infer_cfg = InferenceConfig(
+    knobs = dict(
         inference_steps=3,
         guidance_steps=2,
         guidance_fraction=0.3,
@@ -48,18 +43,23 @@ def test_sharded_batch_matches_per_example():
         height=H * 8,
         video_length=F,
     )
+    knobs.update(cfg_overrides)
+    infer_cfg = InferenceConfig(**knobs)
     model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
-    sample0 = jnp.zeros((1, F, H, W, 4))
-    ctx0 = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
-    params = model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
-    fns = make_sampling_fns(
-        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, F, H, W, 4)),
+        jnp.array([1]),
+        jnp.zeros((1, 77, unet_cfg.cross_attention_dim)),
     )
-
-    rng = np.random.default_rng(0)
-    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
-    uncond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    cond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    rng = np.random.default_rng(seed)
+    latents = jnp.asarray(rng.normal(size=(batch, F, H, W, 4)), jnp.float32)
+    uncond = jnp.asarray(
+        rng.normal(size=(batch, 77, unet_cfg.cross_attention_dim)), jnp.float32
+    )
+    cond = jnp.asarray(
+        rng.normal(size=(batch, 77, unet_cfg.cross_attention_dim)), jnp.float32
+    )
     s_hw = (H // 4) * (W // 4)
     heads = unet_cfg.motion_module.num_attention_heads
     rep = {}
@@ -70,9 +70,35 @@ def test_sharded_batch_matches_per_example():
                 f".transformer_blocks.0.attention_blocks.{a}"
             )
             rep[name] = (
-                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, heads, F, 1)), jnp.float32),
-                jnp.asarray(rng.integers(0, F, size=(B, s_hw, heads, F, 1)), np.uint8),
+                jnp.asarray(
+                    rng.uniform(0.2, 0.9, size=(batch, s_hw, heads, F, 1)),
+                    jnp.float32,
+                ),
+                jnp.asarray(
+                    rng.integers(0, F, size=(batch, s_hw, heads, F, 1)),
+                    np.uint8,
+                ),
             )
+    return unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep
+
+
+
+def test_batch_examples_padding():
+    exs = [Example(video_path=f"v{i}.mp4", new_prompt="p") for i in range(5)]
+    batches = batch_examples(exs, 4)
+    assert len(batches) == 2
+    assert len(batches[0][0]) == 4 and batches[0][1] == 4
+    assert len(batches[1][0]) == 4 and batches[1][1] == 1
+    assert batches[1][0][1].video_path == "v4.mp4"  # padded by repetition
+
+
+def test_sharded_batch_matches_per_example():
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _tiny_setup(B, seed=0)
+    )
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    )
 
     # per-example (unsharded, batch 1)
     singles = []
@@ -108,42 +134,9 @@ def test_cfg_pair_sharding_matches_data_only():
     reproduces the data-parallel-only result."""
     from motionclone_tpu.parallel.mesh import cfg_pair_sharding, make_mesh_2d
 
-    unet_cfg = tiny_unet_config()
-    sched_cfg = NoiseScheduleConfig()
-    infer_cfg = InferenceConfig(
-        inference_steps=3,
-        guidance_steps=1,
-        guidance_fraction=0.3,
-        warm_up_steps=1,
-        cool_up_steps=0,
-        motion_guidance_weight=50.0,
-        motion_guidance_blocks=("up_blocks.1",),
-        width=W * 8,
-        height=H * 8,
-        video_length=F,
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _tiny_setup(B, seed=1, guidance_steps=1, cool_up_steps=0)
     )
-    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
-    sample0 = jnp.zeros((1, F, H, W, 4))
-    ctx0 = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
-    params = model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
-
-    rng = np.random.default_rng(1)
-    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
-    uncond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    cond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    s_hw = (H // 4) * (W // 4)
-    heads = unet_cfg.motion_module.num_attention_heads
-    rep = {}
-    for m in range(2):
-        for a in range(2):
-            name = (
-                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
-                f".transformer_blocks.0.attention_blocks.{a}"
-            )
-            rep[name] = (
-                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, heads, F, 1)), jnp.float32),
-                jnp.asarray(rng.integers(0, F, size=(B, s_hw, heads, F, 1)), np.uint8),
-            )
 
     fns_ref = make_sampling_fns(
         unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
@@ -179,45 +172,12 @@ def test_sharded_sample_resume(tmp_path):
 
     import pytest
 
-    unet_cfg = tiny_unet_config()
-    sched_cfg = NoiseScheduleConfig()
-    infer_cfg = InferenceConfig(
-        inference_steps=3,
-        guidance_steps=2,
-        guidance_fraction=0.3,
-        warm_up_steps=1,
-        cool_up_steps=1,
-        motion_guidance_weight=50.0,
-        motion_guidance_blocks=("up_blocks.1",),
-        width=W * 8,
-        height=H * 8,
-        video_length=F,
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _tiny_setup(B, seed=0)
     )
-    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
-    sample0 = jnp.zeros((1, F, H, W, 4))
-    ctx0 = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
-    params = model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
     fns = make_sampling_fns(
         unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
     )
-
-    rng = np.random.default_rng(0)
-    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
-    uncond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    cond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    s_hw = (H // 4) * (W // 4)
-    heads = unet_cfg.motion_module.num_attention_heads
-    rep = {}
-    for m in range(2):
-        for a in range(2):
-            name = (
-                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
-                f".transformer_blocks.0.attention_blocks.{a}"
-            )
-            rep[name] = (
-                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, heads, F, 1)), jnp.float32),
-                jnp.asarray(rng.integers(0, F, size=(B, s_hw, heads, F, 1)), np.uint8),
-            )
 
     mesh = make_mesh(4)
     p = shard_params(params, mesh)
@@ -270,42 +230,9 @@ def test_frame_sharded_matches_unsharded():
     the temporal-attention collectives emitted by GSPMD."""
     from motionclone_tpu.parallel.mesh import frame_sharding, make_mesh_video
 
-    unet_cfg = tiny_unet_config()
-    sched_cfg = NoiseScheduleConfig()
-    infer_cfg = InferenceConfig(
-        inference_steps=3,
-        guidance_steps=2,
-        guidance_fraction=0.3,
-        warm_up_steps=1,
-        cool_up_steps=1,
-        motion_guidance_weight=50.0,
-        motion_guidance_blocks=("up_blocks.1",),
-        width=W * 8,
-        height=H * 8,
-        video_length=F,
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _tiny_setup(1, seed=2)
     )
-    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
-    sample0 = jnp.zeros((1, F, H, W, 4))
-    ctx0 = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
-    params = model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
-
-    rng = np.random.default_rng(2)
-    latents = jnp.asarray(rng.normal(size=(1, F, H, W, 4)), jnp.float32)
-    uncond = jnp.asarray(rng.normal(size=(1, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    cond = jnp.asarray(rng.normal(size=(1, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    s_hw = (H // 4) * (W // 4)
-    heads = unet_cfg.motion_module.num_attention_heads
-    rep = {}
-    for m in range(2):
-        for a in range(2):
-            name = (
-                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
-                f".transformer_blocks.0.attention_blocks.{a}"
-            )
-            rep[name] = (
-                jnp.asarray(rng.uniform(0.2, 0.9, size=(1, s_hw, heads, F, 1)), jnp.float32),
-                jnp.asarray(rng.integers(0, F, size=(1, s_hw, heads, F, 1)), np.uint8),
-            )
 
     fns_ref = make_sampling_fns(
         unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
@@ -341,42 +268,9 @@ def test_frame_and_cfg_pair_sharding_matches_unsharded():
         make_mesh_video,
     )
 
-    unet_cfg = tiny_unet_config()
-    sched_cfg = NoiseScheduleConfig()
-    infer_cfg = InferenceConfig(
-        inference_steps=3,
-        guidance_steps=1,
-        guidance_fraction=0.3,
-        warm_up_steps=1,
-        cool_up_steps=0,
-        motion_guidance_weight=50.0,
-        motion_guidance_blocks=("up_blocks.1",),
-        width=W * 8,
-        height=H * 8,
-        video_length=F,
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _tiny_setup(1, seed=3, guidance_steps=1, cool_up_steps=0)
     )
-    model = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
-    sample0 = jnp.zeros((1, F, H, W, 4))
-    ctx0 = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
-    params = model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
-
-    rng = np.random.default_rng(3)
-    latents = jnp.asarray(rng.normal(size=(1, F, H, W, 4)), jnp.float32)
-    uncond = jnp.asarray(rng.normal(size=(1, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    cond = jnp.asarray(rng.normal(size=(1, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    s_hw = (H // 4) * (W // 4)
-    heads = unet_cfg.motion_module.num_attention_heads
-    rep = {}
-    for m in range(2):
-        for a in range(2):
-            name = (
-                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
-                f".transformer_blocks.0.attention_blocks.{a}"
-            )
-            rep[name] = (
-                jnp.asarray(rng.uniform(0.2, 0.9, size=(1, s_hw, heads, F, 1)), jnp.float32),
-                jnp.asarray(rng.integers(0, F, size=(1, s_hw, heads, F, 1)), np.uint8),
-            )
 
     fns_ref = make_sampling_fns(
         unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
@@ -401,6 +295,17 @@ def test_frame_and_cfg_pair_sharding_matches_unsharded():
         )
         out.block_until_ready()
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_make_mesh_video_validates_axis_sizes():
+    import pytest
+
+    from motionclone_tpu.parallel.mesh import make_mesh_video
+
+    with pytest.raises(ValueError, match=">= 1"):
+        make_mesh_video(frames=-2)
+    with pytest.raises(ValueError, match=">= 1"):
+        make_mesh_video(frames=2, cfg=0)
 
 
 def test_sweep_cfg_pair_validates_device_count(tmp_path):
