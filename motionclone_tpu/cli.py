@@ -62,6 +62,15 @@ def build_parser(default_config: str, default_examples: str) -> argparse.Argumen
         "latency scaling; N must divide --L; forces the pure-XLA compute "
         "paths)",
     )
+    parser.add_argument(
+        "--weights-cache",
+        type=str,
+        default="",
+        metavar="DIR",
+        help="cache the converted flax parameters in DIR: the torch->flax "
+        "conversion + merge pipeline runs once per unique checkpoint/LoRA/"
+        "config set, later startups mmap the cached safetensors",
+    )
     return parser
 
 
@@ -83,6 +92,7 @@ def _setup(args, cfg=None):
         attention_impl=args.attention_impl,
         config_root=args.config_root,
         frame_shard=args.frame_shard,
+        weights_cache=args.weights_cache,
     )
     return cfg, runtime
 

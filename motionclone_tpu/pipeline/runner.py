@@ -117,12 +117,18 @@ class MotionCloneRuntime:
         attention_impl: str = "auto",
         config_root: str = ".",
         frame_shard: int = 0,
+        weights_cache: str = "",
     ):
         """``frame_shard``: split the frame axis of every video tensor over
         that many local devices (single-video latency scaling,
         parallel.mesh.make_mesh_video).  0 disables.  Requires
         ``video_length % frame_shard == 0``; forces the pure-XLA compute
-        paths (GSPMD cannot partition Pallas custom calls)."""
+        paths (GSPMD cannot partition Pallas custom calls).
+
+        ``weights_cache``: directory for the converted-parameter cache
+        (weights.cache) — the torch->flax conversion and merge pipeline runs
+        once per unique source set and later startups mmap the result;
+        editing any source checkpoint/LoRA/config invalidates the entry."""
         self.infer_cfg = infer_cfg
         self.dtype = dtype
         self.attention_impl = attention_impl
@@ -150,36 +156,75 @@ class MotionCloneRuntime:
         def j(p):
             return os.path.join(config_root, p) if p else ""
 
-        # fetch well-known hub assets if missing (reference util.py:101-113;
-        # raises a FileNotFoundError naming the repo in offline environments)
-        from motionclone_tpu.weights.io import auto_download
-
-        if infer_cfg.motion_module:
-            auto_download(j(infer_cfg.motion_module))
-        if infer_cfg.adapter_lora_path:
-            auto_download(j(infer_cfg.adapter_lora_path))
-        if infer_cfg.dreambooth_path and not os.path.exists(
-            j(infer_cfg.dreambooth_path)
-        ):
-            auto_download(j(infer_cfg.dreambooth_path), is_dreambooth_lora=True)
-
-        sds = assemble_pipeline_state_dicts(
-            pretrained_model_path,
-            motion_module_path=j(infer_cfg.motion_module),
-            dreambooth_path=j(infer_cfg.dreambooth_path),
-            adapter_lora_path=j(infer_cfg.adapter_lora_path),
-            adapter_lora_scale=infer_cfg.adapter_lora_scale,
-        )
         np_dtype = np.dtype(jnp.dtype(dtype).name) if dtype != jnp.float32 else None
-        unet_params = unet_params_from_state_dict(
-            sds["unet"], self.unet_cfg, dtype=np_dtype
-        )
-        self.vae_params = vae_params_from_state_dict(
-            sds["vae"], self.vae_cfg, dtype=np_dtype
-        )
-        self.clip_params = clip_params_from_state_dict(
-            sds["text_encoder"], self.clip_cfg, dtype=np_dtype
-        )
+
+        # converted-parameter cache: key every source file + merge knob, so
+        # a hit skips downloads, torch reads, and the whole merge pipeline
+        cache_k = None
+        cached = None
+        if weights_cache:
+            from motionclone_tpu.weights.cache import cache_key, load_params
+            from motionclone_tpu.weights.load import resolve_diffusers_module_path
+
+            sources = [
+                resolve_diffusers_module_path(pretrained_model_path, sub)
+                or os.path.join(pretrained_model_path, sub)
+                for sub in ("unet", "vae", "text_encoder")
+            ] + [
+                j(infer_cfg.motion_module),
+                j(infer_cfg.dreambooth_path),
+                j(infer_cfg.adapter_lora_path),
+                j(infer_cfg.controlnet_path),
+                j(infer_cfg.controlnet_config),
+                model_config_path,
+            ]
+            knobs = {
+                "schema": 1,
+                "dtype": jnp.dtype(dtype).name,
+                "adapter_lora_scale": infer_cfg.adapter_lora_scale,
+            }
+            cache_k = cache_key(sources, knobs)
+            cached = load_params(weights_cache, cache_k)
+            if cached is not None and infer_cfg.controlnet_path and (
+                "controlnet" not in cached
+            ):
+                cached = None  # stale entry from before the cn was configured
+
+        if cached is not None:
+            unet_params = cached["unet"]
+            self.vae_params = cached["vae"]
+            self.clip_params = cached["text_encoder"]
+        else:
+            # fetch well-known hub assets if missing (reference
+            # util.py:101-113; raises a FileNotFoundError naming the repo in
+            # offline environments)
+            from motionclone_tpu.weights.io import auto_download
+
+            if infer_cfg.motion_module:
+                auto_download(j(infer_cfg.motion_module))
+            if infer_cfg.adapter_lora_path:
+                auto_download(j(infer_cfg.adapter_lora_path))
+            if infer_cfg.dreambooth_path and not os.path.exists(
+                j(infer_cfg.dreambooth_path)
+            ):
+                auto_download(j(infer_cfg.dreambooth_path), is_dreambooth_lora=True)
+
+            sds = assemble_pipeline_state_dicts(
+                pretrained_model_path,
+                motion_module_path=j(infer_cfg.motion_module),
+                dreambooth_path=j(infer_cfg.dreambooth_path),
+                adapter_lora_path=j(infer_cfg.adapter_lora_path),
+                adapter_lora_scale=infer_cfg.adapter_lora_scale,
+            )
+            unet_params = unet_params_from_state_dict(
+                sds["unet"], self.unet_cfg, dtype=np_dtype
+            )
+            self.vae_params = vae_params_from_state_dict(
+                sds["vae"], self.vae_cfg, dtype=np_dtype
+            )
+            self.clip_params = clip_params_from_state_dict(
+                sds["text_encoder"], self.clip_cfg, dtype=np_dtype
+            )
 
         from transformers import CLIPTokenizer
 
@@ -210,10 +255,13 @@ class MotionCloneRuntime:
             self.cn_cfg = SparseControlNetConfig.from_yaml_dict(
                 cn_yaml.get("controlnet_additional_kwargs", {}), self.unet_cfg
             )
-            cn_sd = load_state_dict(j(infer_cfg.controlnet_path))
-            cn_params = controlnet_params_from_state_dict(
-                cn_sd, self.cn_cfg, dtype=np_dtype
-            )
+            if cached is not None:
+                cn_params = cached["controlnet"]
+            else:
+                cn_sd = load_state_dict(j(infer_cfg.controlnet_path))
+                cn_params = controlnet_params_from_state_dict(
+                    cn_sd, self.cn_cfg, dtype=np_dtype
+                )
             # the controlnet runs inside the same jitted steps as the UNet:
             # under frame sharding its Pallas attention kernels must be
             # forced off too (GSPMD cannot partition custom calls)
@@ -222,6 +270,20 @@ class MotionCloneRuntime:
                 cfg=self.cn_cfg, attention_impl=cn_impl, dtype=dtype
             )
             controlnet_apply = make_controlnet_apply(cn_model)
+
+        if weights_cache and cached is None:
+            from motionclone_tpu.weights.cache import save_params
+
+            save_params(
+                weights_cache,
+                cache_k,
+                {
+                    "unet": unet_params,
+                    "vae": self.vae_params,
+                    "text_encoder": self.clip_params,
+                    "controlnet": cn_params,
+                },
+            )
 
         if self.frame_sharding is not None:
             # replicate the heavy parameter trees across the frame mesh so

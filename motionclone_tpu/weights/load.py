@@ -160,13 +160,21 @@ def controlnet_params_from_state_dict(
 # ---------------------------------------------------------------------------
 
 
-def load_diffusers_module_sd(pretrained_dir: str, subfolder: str) -> StateDict:
-    path = _first_existing(
+def resolve_diffusers_module_path(
+    pretrained_dir: str, subfolder: str
+) -> Optional[str]:
+    """The checkpoint file a diffusers-layout subfolder resolves to (None if
+    absent) — also used to fingerprint sources for the parameter cache."""
+    return _first_existing(
         os.path.join(pretrained_dir, subfolder, "diffusion_pytorch_model.safetensors"),
         os.path.join(pretrained_dir, subfolder, "diffusion_pytorch_model.bin"),
         os.path.join(pretrained_dir, subfolder, "model.safetensors"),
         os.path.join(pretrained_dir, subfolder, "pytorch_model.bin"),
     )
+
+
+def load_diffusers_module_sd(pretrained_dir: str, subfolder: str) -> StateDict:
+    path = resolve_diffusers_module_path(pretrained_dir, subfolder)
     if path is None:
         raise FileNotFoundError(
             f"no checkpoint found under {pretrained_dir}/{subfolder}"

@@ -1,6 +1,8 @@
 """Checkpoint ingestion tests — the highest-silent-error-risk component
 (SURVEY §7 hard part 1)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -463,3 +465,68 @@ def test_auto_download_gated(tmp_path, monkeypatch):
     missing = tmp_path / "nope" / "v3_sd15_mm.ckpt"
     with pytest.raises(FileNotFoundError, match="guoyww/animatediff"):
         auto_download(str(missing))
+
+
+def test_params_cache_roundtrip(tmp_path):
+    """weights.cache: save/load preserves tree structure, values, dtypes
+    (incl. bfloat16); misses and corrupt entries return None."""
+    import jax.numpy as jnp
+
+    from motionclone_tpu.weights.cache import load_params, save_params
+
+    bf16 = np.dtype(jnp.bfloat16.dtype.name)
+    trees = {
+        "unet": {"params": {
+            "conv_in": {"kernel": np.arange(12, dtype=np.float32).reshape(3, 4)},
+            "block": {"norm": {"scale": np.ones((4,), bf16)}},
+        }},
+        "vae": {"params": {"w": np.full((2, 2), 0.5, np.float32)}},
+        "controlnet": None,  # skipped component
+    }
+    path = save_params(str(tmp_path), "k1", trees)
+    assert os.path.exists(path)
+
+    out = load_params(str(tmp_path), "k1")
+    assert set(out) == {"unet", "vae"}
+    np.testing.assert_array_equal(
+        out["unet"]["params"]["conv_in"]["kernel"],
+        trees["unet"]["params"]["conv_in"]["kernel"],
+    )
+    got = out["unet"]["params"]["block"]["norm"]["scale"]
+    assert got.dtype == bf16
+    np.testing.assert_array_equal(got.astype(np.float32), np.ones((4,)))
+
+    assert load_params(str(tmp_path), "nope") is None
+    with open(os.path.join(tmp_path, "params-bad.safetensors"), "w") as f:
+        f.write("garbage")
+    assert load_params(str(tmp_path), "bad") is None
+
+
+def test_params_cache_key_invalidation(tmp_path):
+    """The fingerprint covers file stats and knobs: touching a source or
+    changing a knob yields a different key; identical inputs are stable."""
+    import time
+
+    from motionclone_tpu.weights.cache import cache_key
+
+    src = tmp_path / "model.safetensors"
+    src.write_bytes(b"abc")
+    sources = [str(src), str(tmp_path / "missing.ckpt"), ""]
+    knobs = {"dtype": "bfloat16", "adapter_lora_scale": 1.0}
+
+    k1 = cache_key(sources, knobs)
+    assert k1 == cache_key(sources, knobs)  # stable
+
+    assert k1 != cache_key(sources, {**knobs, "dtype": "float32"})
+
+    src.write_bytes(b"abcd")  # size change
+    k2 = cache_key(sources, knobs)
+    assert k2 != k1
+
+    stat = os.stat(src)
+    os.utime(src, ns=(stat.st_atime_ns, stat.st_mtime_ns + 1_000_000))
+    assert cache_key(sources, knobs) != k2  # mtime change
+
+    # a previously-missing file appearing also invalidates
+    (tmp_path / "missing.ckpt").write_bytes(b"x")
+    assert cache_key(sources, knobs) not in (k1, k2)
