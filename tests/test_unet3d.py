@@ -161,3 +161,75 @@ def test_post_guidance_cut_preserves_values_and_grads(unet_and_params):
     np.testing.assert_allclose(
         np.asarray(g_cut), np.asarray(g_ref), atol=1e-5, rtol=1e-5
     )
+
+
+def test_mid_block_motion_module_forward():
+    """inference-v2.yaml sets motion_module_mid_block: true — the mid block
+    gains its own temporal module (reference unet.py:157,236 topology +
+    configs/model_config/inference-v2.yaml).  Exercise the forward and the
+    parameter topology, not just config parsing."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_unet_config(), motion_module_mid_block=True)
+    model = UNet3DConditionModel(cfg=cfg, guidance_blocks=("up_blocks.1",))
+    rng = np.random.default_rng(4)
+    sample = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 77, cfg.cross_attention_dim)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    mid_mm = [p for p, _ in flat if "mid_block" in str(p) and "motion_modules" in str(p)]
+    assert mid_mm, "mid block should own motion-module parameters"
+
+    out, probs = model.apply(params, sample, jnp.array([500]), ctx)
+    assert out.shape == (B, F, H, W, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # guidance blocks unchanged: probs still come from up_blocks.1 only
+    assert all(k.startswith("up_blocks.1.") for k in probs)
+
+    # the zero-initialized mid temporal module is an identity at init: same
+    # output as the mid-block-free topology with the shared parameters
+    base = UNet3DConditionModel(
+        cfg=tiny_unet_config(), guidance_blocks=("up_blocks.1",)
+    )
+    base_params = base.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx)
+    out_base, _ = base.apply(base_params, sample, jnp.array([500]), ctx)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_base), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_non_inflated_groupnorm_forward():
+    """use_inflated_groupnorm=false (reference resnet.py:21-29 vs plain
+    nn.GroupNorm over b c f h w): statistics span frames, so permuting the
+    frame order must change per-frame outputs — and the forward stays
+    finite."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_unet_config(), use_inflated_groupnorm=False)
+    model = UNet3DConditionModel(cfg=cfg, guidance_blocks=())
+    rng = np.random.default_rng(5)
+    sample = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 77, cfg.cross_attention_dim)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx)
+    out, _ = model.apply(params, sample, jnp.array([500]), ctx)
+    assert out.shape == (B, F, H, W, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # inflated (per-frame) stats: frame 0's output is independent of other
+    # frames' content before any temporal mixing happens — compare the two
+    # modes on a frame-permuted copy where only frames 1.. change
+    inflated = UNet3DConditionModel(
+        cfg=tiny_unet_config(), guidance_blocks=()
+    )
+    iparams = inflated.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx)
+    sample2 = sample.at[:, 1:].multiply(3.0)
+    a, _ = inflated.apply(iparams, sample, jnp.array([500]), ctx)
+    b, _ = inflated.apply(iparams, sample2, jnp.array([500]), ctx)
+    # temporal attention mixes frames in both modes, so outputs always
+    # differ; the *norm statistics* difference shows up as a much larger
+    # frame-0 delta in the non-inflated mode
+    c, _ = model.apply(params, sample, jnp.array([500]), ctx)
+    d, _ = model.apply(params, sample2, jnp.array([500]), ctx)
+    delta_inflated = float(jnp.abs(a[:, 0] - b[:, 0]).mean())
+    delta_global = float(jnp.abs(c[:, 0] - d[:, 0]).mean())
+    assert delta_global > delta_inflated
