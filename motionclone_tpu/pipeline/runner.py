@@ -166,29 +166,27 @@ class MotionCloneRuntime:
             from motionclone_tpu.weights.cache import cache_key, load_params
             from motionclone_tpu.weights.load import resolve_diffusers_module_path
 
-            sources = [
-                resolve_diffusers_module_path(pretrained_model_path, sub)
-                or os.path.join(pretrained_model_path, sub)
-                for sub in ("unet", "vae", "text_encoder")
-            ] + [
-                j(infer_cfg.motion_module),
-                j(infer_cfg.dreambooth_path),
-                j(infer_cfg.adapter_lora_path),
-                j(infer_cfg.controlnet_path),
-                j(infer_cfg.controlnet_config),
-                model_config_path,
-            ]
-            knobs = {
-                "schema": 1,
-                "dtype": jnp.dtype(dtype).name,
-                "adapter_lora_scale": infer_cfg.adapter_lora_scale,
-            }
-            cache_k = cache_key(sources, knobs)
+            def compute_cache_key():
+                sources = [
+                    resolve_diffusers_module_path(pretrained_model_path, sub)
+                    or os.path.join(pretrained_model_path, sub)
+                    for sub in ("unet", "vae", "text_encoder")
+                ] + [
+                    j(infer_cfg.motion_module),
+                    j(infer_cfg.dreambooth_path),
+                    j(infer_cfg.adapter_lora_path),
+                    j(infer_cfg.controlnet_path),
+                    j(infer_cfg.controlnet_config),
+                    model_config_path,
+                ]
+                knobs = {
+                    "dtype": jnp.dtype(dtype).name,
+                    "adapter_lora_scale": infer_cfg.adapter_lora_scale,
+                }
+                return cache_key(sources, knobs)
+
+            cache_k = compute_cache_key()
             cached = load_params(weights_cache, cache_k)
-            if cached is not None and infer_cfg.controlnet_path and (
-                "controlnet" not in cached
-            ):
-                cached = None  # stale entry from before the cn was configured
 
         if cached is not None:
             unet_params = cached["unet"]
@@ -208,6 +206,12 @@ class MotionCloneRuntime:
                 j(infer_cfg.dreambooth_path)
             ):
                 auto_download(j(infer_cfg.dreambooth_path), is_dreambooth_lora=True)
+
+            if weights_cache:
+                # downloads may have materialized files that were absent
+                # when the lookup key was computed; re-fingerprint so the
+                # saved entry is keyed by the files as a later run sees them
+                cache_k = compute_cache_key()
 
             sds = assemble_pipeline_state_dicts(
                 pretrained_model_path,

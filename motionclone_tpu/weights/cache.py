@@ -41,15 +41,34 @@ def _stat_entry(path: str):
     return [path, st.st_size, st.st_mtime_ns]
 
 
+def _converter_fingerprint():
+    """Stat entries for the conversion code itself (this package's source
+    files): editing any converter — LDM remap, LoRA merge, tree builder —
+    invalidates every cache entry automatically, so a remap fix can never
+    silently serve stale wrongly-converted parameters."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    return [
+        _stat_entry(os.path.join(pkg_dir, f))
+        for f in sorted(os.listdir(pkg_dir))
+        if f.endswith(".py")
+    ]
+
+
 def cache_key(source_paths: Sequence[str], knobs: Mapping[str, object]) -> str:
     """Fingerprint of the conversion inputs.
 
     ``source_paths``: every file whose bytes feed the converted parameters
     (resolved checkpoints, motion module, DreamBooth, LoRAs, model config).
     ``knobs``: non-file inputs (merge scales, dtype name, config digests).
+    The conversion code's own source files are always included, so converter
+    changes invalidate old entries without a manual schema bump.
     """
     payload = json.dumps(
-        [[_stat_entry(p) for p in source_paths], dict(sorted(knobs.items()))],
+        [
+            [_stat_entry(p) for p in source_paths],
+            dict(sorted(knobs.items())),
+            _converter_fingerprint(),
+        ],
         sort_keys=True,
         default=str,
     )
@@ -68,6 +87,19 @@ def save_params(
     from safetensors.numpy import save_file
 
     os.makedirs(cache_dir, exist_ok=True)
+    # sweep crash-orphaned temp files from earlier runs (a crash between
+    # save_file and the rename leaves a full-size *.tmp.<pid> behind);
+    # age-gate the sweep so a concurrent run's in-flight tmp is untouched
+    import time
+
+    for name in os.listdir(cache_dir):
+        if ".safetensors.tmp." in name:
+            p = os.path.join(cache_dir, name)
+            try:
+                if time.time() - os.path.getmtime(p) > 3600:
+                    os.remove(p)
+            except OSError:
+                pass
     flat: Dict[str, np.ndarray] = {}
     for comp, tree in trees.items():
         if tree is None:
