@@ -59,8 +59,17 @@ def build_parser(default_config: str, default_examples: str) -> argparse.Argumen
         default=0,
         metavar="N",
         help="split the frame axis over N local devices (single-video "
-        "latency scaling; N must divide --L; forces the pure-XLA compute "
-        "paths)",
+        "latency scaling; N must divide --L)",
+    )
+    parser.add_argument(
+        "--frame-shard-mode",
+        type=str,
+        default="shardmap",
+        choices=["shardmap", "gspmd"],
+        help="frame-sharding execution: 'shardmap' keeps the fused Pallas "
+        "kernels per chip with explicit temporal-attention all_gathers "
+        "(fastest; t2v), 'gspmd' lets XLA partition a pure-XLA graph "
+        "(general; used automatically for i2v/controlnet)",
     )
     parser.add_argument(
         "--weights-cache",
@@ -92,6 +101,7 @@ def _setup(args, cfg=None):
         attention_impl=args.attention_impl,
         config_root=args.config_root,
         frame_shard=args.frame_shard,
+        frame_shard_mode=args.frame_shard_mode,
         weights_cache=args.weights_cache,
     )
     return cfg, runtime

@@ -47,6 +47,7 @@ def gather_sparse_probs(probs: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray
 def motion_guidance_loss(
     current_probs: Mapping[str, jnp.ndarray],
     motion_representation: Mapping[str, Tuple[jnp.ndarray, jnp.ndarray]],
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sum over modules of MSE(gathered current probs, saved max values).
 
@@ -57,15 +58,27 @@ def motion_guidance_loss(
     axis, so batching independent examples (data-parallel sweeps, SURVEY
     §2.5) yields exactly the reference's per-example gradients; for batch
     size 1 this is the reference's plain mean.
+
+    ``axis_name``: inside ``shard_map`` with the query-frame axis sharded
+    (sequence parallelism over frames), probs/values/indices hold only the
+    local frames — pass the mesh axis name and the per-example mean is
+    taken over the *global* element count via ``psum``, so every shard
+    returns the full-loss value and gradients compose exactly.
     """
+    import jax
+
     losses = []
     for name in sorted(current_probs.keys()):
         values, indices = motion_representation[name]
         picked = gather_sparse_probs(current_probs[name].astype(jnp.float32), indices)
         target = jnp.asarray(values, dtype=jnp.float32)
         sq = (picked - target) ** 2
-        per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=1)
-        losses.append(jnp.sum(per_example))
+        per_example_sum = jnp.sum(sq.reshape(sq.shape[0], -1), axis=1)
+        numel = int(np.prod(sq.shape[1:]))
+        if axis_name is not None:
+            per_example_sum = jax.lax.psum(per_example_sum, axis_name)
+            numel *= jax.lax.axis_size(axis_name)
+        losses.append(jnp.sum(per_example_sum / numel))
     return jnp.sum(jnp.stack(losses))
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from motionclone_tpu.config import MotionModuleConfig
@@ -72,6 +73,7 @@ class VersatileAttention(nn.Module):
     use_pos_encoding: bool = True
     pos_encoding_max_len: int = 24
     attention_impl: str = "auto"
+    frames_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -88,8 +90,18 @@ class VersatileAttention(nn.Module):
         # motion_module.py:279,309).
         h = x
         if self.use_pos_encoding:
-            pe = temporal_positional_encoding(c, self.pos_encoding_max_len)[:f]
-            h = h + jnp.asarray(pe, dtype=h.dtype)[None, :, None, :]
+            pe = jnp.asarray(
+                temporal_positional_encoding(c, self.pos_encoding_max_len),
+                dtype=h.dtype,
+            )
+            if self.frames_axis is not None:
+                # sharded frame axis: this shard holds global frames
+                # [start, start + f) — slice its PE rows dynamically
+                start = jax.lax.axis_index(self.frames_axis) * f
+                pe = jax.lax.dynamic_slice_in_dim(pe, start, f, 0)
+            else:
+                pe = pe[:f]
+            h = h + pe[None, :, None, :]
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(h)
@@ -97,7 +109,24 @@ class VersatileAttention(nn.Module):
 
         scale = self.dim_head**-0.5
         probs = None
-        if return_probs:
+        if self.frames_axis is not None:
+            # sequence parallelism over frames (shard_map): queries stay
+            # local, keys/values are gathered across the frame shards over
+            # ICI — every pixel's f-long sequence attends to all frames
+            fk = f * jax.lax.axis_size(self.frames_axis)
+            k = jax.lax.all_gather(k, self.frames_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, self.frames_axis, axis=1, tiled=True)
+            qp = _to_pixel_major(q, b, f, s, self.heads, self.dim_head)
+            kp = _to_pixel_major(k, b, fk, s, self.heads, self.dim_head)
+            vp = _to_pixel_major(v, b, fk, s, self.heads, self.dim_head)
+            if return_probs:
+                p = attention_probs(qp, kp, scale)  # (B*S, heads, f, fk) f32
+                probs = p.reshape(b, s, self.heads, f, fk)
+                out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(vp.dtype), vp)
+            else:
+                out = dot_product_attention(qp, kp, vp, scale=scale, impl="xla")
+            out = out.reshape(b, s, f, inner).transpose(0, 2, 1, 3)
+        elif return_probs:
             # the f x f probability block *is* the motion feature
             # (motionclone_functions.py:260-283)
             qp = _to_pixel_major(q, b, f, s, self.heads, self.dim_head)
@@ -135,6 +164,7 @@ class TemporalTransformerBlock(nn.Module):
     use_pos_encoding: bool
     pos_encoding_max_len: int
     attention_impl: str = "auto"
+    frames_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -152,6 +182,7 @@ class TemporalTransformerBlock(nn.Module):
                 use_pos_encoding=self.use_pos_encoding,
                 pos_encoding_max_len=self.pos_encoding_max_len,
                 attention_impl=self.attention_impl,
+                frames_axis=self.frames_axis,
                 dtype=self.dtype,
                 name=f"attention_blocks_{i}",
             )(h, return_probs=return_probs)
@@ -177,6 +208,7 @@ class TemporalTransformer3D(nn.Module):
     cfg: MotionModuleConfig
     zero_init_proj_out: bool = True
     attention_impl: str = "auto"
+    frames_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -191,6 +223,7 @@ class TemporalTransformer3D(nn.Module):
 
         if (
             self.attention_impl == "fused"
+            and self.frames_axis is None
             and not self.is_initializing()
             and not return_probs
             and inner == c
@@ -261,6 +294,7 @@ class TemporalTransformer3D(nn.Module):
                 use_pos_encoding=self.cfg.temporal_position_encoding,
                 pos_encoding_max_len=self.cfg.temporal_position_encoding_max_len,
                 attention_impl=self.attention_impl,
+                frames_axis=self.frames_axis,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(h, return_probs=return_probs)
@@ -284,6 +318,7 @@ class VanillaTemporalModule(nn.Module):
 
     cfg: MotionModuleConfig
     attention_impl: str = "auto"
+    frames_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -294,6 +329,7 @@ class VanillaTemporalModule(nn.Module):
             cfg=self.cfg,
             zero_init_proj_out=self.cfg.zero_initialize,
             attention_impl=self.attention_impl,
+            frames_axis=self.frames_axis,
             dtype=self.dtype,
             name="temporal_transformer",
         )(x, return_probs=return_probs)

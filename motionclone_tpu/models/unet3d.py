@@ -57,6 +57,7 @@ class UNet3DConditionModel(nn.Module):
     cfg: UNet3DConfig
     guidance_blocks: Tuple[str, ...] = ()
     attention_impl: str = "auto"
+    frames_axis: Optional[str] = None
     post_guidance_cut: Optional[int] = None
     post_guidance_impl: str = "fused"
     dtype: jnp.dtype = jnp.float32
@@ -123,6 +124,7 @@ class UNet3DConditionModel(nn.Module):
                 path=f"down_blocks.{i}",
                 guidance_blocks=self.guidance_blocks,
                 attention_impl=self.attention_impl,
+                frames_axis=self.frames_axis,
                 dtype=self.dtype,
             )
             if block_type == "CrossAttnDownBlock3D":
@@ -161,6 +163,7 @@ class UNet3DConditionModel(nn.Module):
             path="mid_block",
             guidance_blocks=self.guidance_blocks,
             attention_impl=self.attention_impl,
+            frames_axis=self.frames_axis,
             dtype=self.dtype,
             name="mid_block",
         )(x, temb, encoder_hidden_states)
@@ -204,6 +207,7 @@ class UNet3DConditionModel(nn.Module):
                 attention_impl=(
                     self.post_guidance_impl if post_cut else self.attention_impl
                 ),
+                frames_axis=self.frames_axis,
                 dtype=self.dtype,
             )
             if block_type == "CrossAttnUpBlock3D":

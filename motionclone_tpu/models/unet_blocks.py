@@ -62,12 +62,13 @@ def _run_motion_module(
     mm_path = f"{path}.motion_modules.{idx}"
     collect = match_guidance(mm_path, guidance_blocks)
     attention_impl = getattr(parent, "attention_impl", "auto")
+    frames_axis = getattr(parent, "frames_axis", None)
     # invoked from the parent's compact __call__, so the ambient scope
     # registers the module under the parent
     del parent
     x, probs = VanillaTemporalModule(
-        cfg=mm_cfg, attention_impl=attention_impl, dtype=dtype,
-        name=f"motion_modules_{idx}"
+        cfg=mm_cfg, attention_impl=attention_impl, frames_axis=frames_axis,
+        dtype=dtype, name=f"motion_modules_{idx}"
     )(x, return_probs=collect)
     out: ProbsDict = {}
     if collect:
@@ -91,6 +92,7 @@ class CrossAttnDownBlock3D(nn.Module):
     path: str = ""
     guidance_blocks: Tuple[str, ...] = ()
     attention_impl: str = "auto"
+    frames_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -145,6 +147,7 @@ class DownBlock3D(nn.Module):
     path: str = ""
     guidance_blocks: Tuple[str, ...] = ()
     attention_impl: str = "auto"
+    frames_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -191,6 +194,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     path: str = "mid_block"
     guidance_blocks: Tuple[str, ...] = ()
     attention_impl: str = "auto"
+    frames_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -251,6 +255,7 @@ class CrossAttnUpBlock3D(nn.Module):
     path: str = ""
     guidance_blocks: Tuple[str, ...] = ()
     attention_impl: str = "auto"
+    frames_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -308,6 +313,7 @@ class UpBlock3D(nn.Module):
     path: str = ""
     guidance_blocks: Tuple[str, ...] = ()
     attention_impl: str = "auto"
+    frames_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

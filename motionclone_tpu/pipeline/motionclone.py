@@ -109,6 +109,7 @@ def make_sampling_fns(
     controlnet_apply: Optional[Callable] = None,
     cfg_pair_sharding=None,
     frame_sharding=None,
+    frame_shard_map=None,
 ) -> SamplingFns:
     """Build the jitted extract/sample functions for one workload config.
 
@@ -139,7 +140,45 @@ def make_sampling_fns(
     ("xla"/"chunked") was requested.  Combine with ``cfg_pair_sharding``
     over a ``(cfg, frames)`` mesh (parallel.mesh.make_mesh_video) to also
     split the CFG pair.
+
+    ``frame_shard_map``: optional ``Mesh`` with a ``frames`` axis — the
+    **explicit-collective** variant of frame sharding.  The whole scan
+    chunk runs under ``jax.shard_map``: every chip executes the UNet on its
+    local frames *with the fused Pallas kernels intact* (unlike the GSPMD
+    path, which must fall back to pure-XLA ops), and the temporal motion
+    modules ``all_gather`` keys/values across the frame shards over ICI
+    (models.motion_module.VersatileAttention with ``frames_axis``); the
+    guidance loss psums its per-shard partials so gradients compose
+    exactly.  Requirements: no controlnet (use the GSPMD path for i2v),
+    ``use_inflated_groupnorm`` (per-frame statistics stay shard-local),
+    and ``video_length`` divisible by the ``frames`` axis size.  Mutually
+    exclusive with ``frame_sharding``.
     """
+    if frame_shard_map is not None:
+        if frame_sharding is not None:
+            raise ValueError(
+                "frame_shard_map and frame_sharding are mutually exclusive"
+            )
+        if cfg_pair_sharding is not None:
+            raise ValueError(
+                "frame_shard_map does not compose with cfg_pair_sharding yet"
+            )
+        if controlnet_apply is not None:
+            raise ValueError(
+                "frame_shard_map does not support controlnet workloads; "
+                "use frame_sharding (GSPMD) for i2v"
+            )
+        if "frames" not in frame_shard_map.axis_names:
+            raise ValueError(
+                f"frame_shard_map mesh needs a 'frames' axis, has "
+                f"{frame_shard_map.axis_names}"
+            )
+        if not unet_cfg.use_inflated_groupnorm:
+            raise ValueError(
+                "frame_shard_map requires use_inflated_groupnorm (global "
+                "GroupNorm statistics would be computed per shard)"
+            )
+    frames_axis = "frames" if frame_shard_map is not None else None
     ddim = make_ddim_params(sched_cfg)
     if guided_attention_impl is None:
         # the differentiated pass streams 64x64 attention through the Pallas
@@ -169,6 +208,7 @@ def make_sampling_fns(
         cfg=unet_cfg,
         guidance_blocks=tuple(infer_cfg.motion_guidance_blocks),
         attention_impl=guided_attention_impl,
+        frames_axis=frames_axis,
         # up blocks past the last guidance block feed only the (aux)
         # noise_pred, never the loss: run them stop-gradient with the
         # forward-only fused kernels (reference's no_grad split, :629)
@@ -177,7 +217,8 @@ def make_sampling_fns(
         dtype=dtype,
     )
     plain_unet = UNet3DConditionModel(
-        cfg=unet_cfg, guidance_blocks=(), attention_impl=plain_impl, dtype=dtype
+        cfg=unet_cfg, guidance_blocks=(), attention_impl=plain_impl,
+        frames_axis=frames_axis, dtype=dtype,
     )
 
     timesteps = build_timesteps(
@@ -245,7 +286,30 @@ def make_sampling_fns(
         )
         return {k: sparsify_top1(p) for k, p in probs.items()}
 
-    extract = jax.jit(_extract)
+    # shard_map wiring: video tensors split on the frame axis, motion-rep
+    # arrays on their query-frame axis (index 3 of (B, S, heads, F, 1));
+    # everything else — params, embeddings, timesteps — is replicated
+    if frame_shard_map is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        _vid = _P(None, "frames")
+        _rep = _P(None, None, None, "frames", None)
+
+        def _smap(fn, in_specs, out_specs):
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=frame_shard_map,
+                    in_specs=in_specs, out_specs=out_specs,
+                )
+            )
+
+        extract = _smap(
+            _extract,
+            (_P(), _vid, _vid, _P(), _P(), _P()),
+            _rep,
+        )
+    else:
+        extract = jax.jit(_extract)
 
     # ------------------------------------------------------------------
     # sampling (reference motionclone_functions.py:102-257)
@@ -263,7 +327,7 @@ def make_sampling_fns(
             mid_block_residual=mid_res,
         )
         loss = infer_cfg.motion_guidance_weight * motion_guidance_loss(
-            probs, motion_rep
+            probs, motion_rep, axis_name=frames_axis
         )
         return loss, noise_pred
 
@@ -444,8 +508,13 @@ def make_sampling_fns(
         latents, _ = jax.lax.scan(vanilla_step, latents, xs)
         return latents
 
-    guided_chunk = jax.jit(_guided_chunk)
-    vanilla_chunk = jax.jit(_vanilla_chunk)
+    if frame_shard_map is not None:
+        _chunk_specs = (_P(), _vid, _P(), _P(), _rep, _P(), _P(), _P())
+        guided_chunk = _smap(_guided_chunk, _chunk_specs, _vid)
+        vanilla_chunk = _smap(_vanilla_chunk, _chunk_specs, _vid)
+    else:
+        guided_chunk = jax.jit(_guided_chunk)
+        vanilla_chunk = jax.jit(_vanilla_chunk)
 
     # The full schedule runs as a handful of chunked dispatches instead of
     # one monolithic 100-step scan: same math (the scan body is identical,
@@ -584,7 +653,16 @@ def make_sampling_fns(
 
         return jax.lax.scan(step, latents, xs)
 
-    vanilla_probs_chunk = jax.jit(_vanilla_probs_chunk)
+    if frame_shard_map is not None:
+        # probs stack per scan step: (steps, B, S, heads, f_local, f_global)
+        _probs_spec = _P(None, None, None, None, "frames", None)
+        vanilla_probs_chunk = _smap(
+            _vanilla_probs_chunk,
+            (_P(), _vid, _P(), _P(), _P(), _P(), _P()),
+            (_vid, _probs_spec),
+        )
+    else:
+        vanilla_probs_chunk = jax.jit(_vanilla_probs_chunk)
 
     def sample_plain_probs(params, init_latents, uncond_emb, cond_emb,
                            cn_params=None, cn_cond=None, chunk_steps: int = 10):
@@ -642,6 +720,7 @@ class MotionClonePipeline:
         controlnet_apply=None,
         cn_params=None,
         frame_sharding=None,
+        frame_shard_map=None,
     ):
         self.unet_cfg = unet_cfg
         self.sched_cfg = sched_cfg
@@ -651,7 +730,6 @@ class MotionClonePipeline:
         self.text_encoder = text_encoder
         self.cn_params = cn_params
         self.controlnet_apply = controlnet_apply
-        self.frame_sharding = frame_sharding
         self.fns = make_sampling_fns(
             unet_cfg,
             sched_cfg,
@@ -660,7 +738,17 @@ class MotionClonePipeline:
             attention_impl=attention_impl,
             controlnet_apply=controlnet_apply,
             frame_sharding=frame_sharding,
+            frame_shard_map=frame_shard_map,
         )
+        # latent placement: both frame-sharding flavors put the frame axis
+        # of the (B, F, H, W, C) tensors on the mesh's ``frames`` axis
+        if frame_sharding is None and frame_shard_map is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            frame_sharding = NamedSharding(
+                frame_shard_map, PartitionSpec(None, "frames")
+            )
+        self.frame_sharding = frame_sharding
         self.dtype = dtype
 
     # -- latent-space API (VAE/text handled by caller or encode helpers) --

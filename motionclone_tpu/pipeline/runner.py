@@ -117,13 +117,19 @@ class MotionCloneRuntime:
         attention_impl: str = "auto",
         config_root: str = ".",
         frame_shard: int = 0,
+        frame_shard_mode: str = "shardmap",
         weights_cache: str = "",
     ):
         """``frame_shard``: split the frame axis of every video tensor over
         that many local devices (single-video latency scaling,
         parallel.mesh.make_mesh_video).  0 disables.  Requires
-        ``video_length % frame_shard == 0``; forces the pure-XLA compute
-        paths (GSPMD cannot partition Pallas custom calls).
+        ``video_length % frame_shard == 0``.
+
+        ``frame_shard_mode``: "shardmap" (default) runs every chip's local
+        frames with the fused Pallas kernels and explicit temporal-attention
+        all_gathers (fastest; t2v only, needs inflated GroupNorm); "gspmd"
+        lets XLA partition a pure-XLA graph automatically (general: i2v /
+        controlnet supported).
 
         ``weights_cache``: directory for the converted-parameter cache
         (weights.cache) — the torch->flax conversion and merge pipeline runs
@@ -133,6 +139,7 @@ class MotionCloneRuntime:
         self.dtype = dtype
         self.attention_impl = attention_impl
         self.frame_sharding = None
+        self.frame_shard_map = None
         if frame_shard:
             from motionclone_tpu.parallel.mesh import (
                 frame_sharding as _frame_sharding,
@@ -144,12 +151,30 @@ class MotionCloneRuntime:
                     f"--frame-shard {frame_shard} must be >= 1 and divide "
                     f"video_length={infer_cfg.video_length}"
                 )
-            self.frame_sharding = _frame_sharding(
-                make_mesh_video(frames=frame_shard)
-            )
+            if frame_shard_mode not in ("shardmap", "gspmd"):
+                raise ValueError(
+                    f"--frame-shard-mode must be 'shardmap' or 'gspmd', "
+                    f"got {frame_shard_mode!r}"
+                )
+            mesh = make_mesh_video(frames=frame_shard)
+            if frame_shard_mode == "shardmap" and not infer_cfg.controlnet_path:
+                self.frame_shard_map = mesh
+            else:
+                # i2v/controlnet workloads use the GSPMD path (shard_map
+                # mode does not run the controlnet)
+                self.frame_sharding = _frame_sharding(mesh)
 
         model_config_path = os.path.join(config_root, infer_cfg.model_config)
         self.unet_cfg, self.sched_cfg = load_model_config(model_config_path)
+        if self.frame_shard_map is not None and not self.unet_cfg.use_inflated_groupnorm:
+            # shard_map mode needs per-frame GroupNorm statistics; fall back
+            # to the automatic-partitioning path for global-stats configs
+            from motionclone_tpu.parallel.mesh import (
+                frame_sharding as _frame_sharding,
+            )
+
+            self.frame_sharding = _frame_sharding(self.frame_shard_map)
+            self.frame_shard_map = None
         self.vae_cfg = VAEConfig()
         self.clip_cfg = CLIPTextConfig()
 
@@ -289,12 +314,16 @@ class MotionCloneRuntime:
                 },
             )
 
-        if self.frame_sharding is not None:
+        if self.frame_sharding is not None or self.frame_shard_map is not None:
             # replicate the heavy parameter trees across the frame mesh so
             # the sharded steps read them locally (no per-step broadcast)
             from motionclone_tpu.parallel.mesh import shard_params
 
-            mesh = self.frame_sharding.mesh
+            mesh = (
+                self.frame_shard_map
+                if self.frame_shard_map is not None
+                else self.frame_sharding.mesh
+            )
             unet_params = shard_params(unet_params, mesh)
             if cn_params is not None:
                 cn_params = shard_params(cn_params, mesh)
@@ -309,6 +338,7 @@ class MotionCloneRuntime:
             controlnet_apply=controlnet_apply,
             cn_params=cn_params,
             frame_sharding=self.frame_sharding,
+            frame_shard_map=self.frame_shard_map,
         )
 
         self._vae_encode = jax.jit(

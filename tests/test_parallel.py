@@ -297,6 +297,81 @@ def test_frame_and_cfg_pair_sharding_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
 
 
+def test_frame_shard_map_matches_unsharded():
+    """shard_map frame sharding (explicit temporal-attention all_gathers +
+    loss psum, per-shard kernels) reproduces the unsharded result for both
+    extraction and guided sampling."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from motionclone_tpu.parallel.mesh import make_mesh_video
+
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _tiny_setup(1, seed=6)
+    )
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    )
+    noise = jnp.asarray(
+        np.random.default_rng(7).normal(size=latents.shape), jnp.float32
+    )
+    rep_ref = fns_ref.extract(params, latents, noise, uncond, None, None)
+    ref = np.asarray(
+        fns_ref.sample(params, latents, uncond, cond, rep, None, None)
+    )
+
+    mesh = make_mesh_video(frames=F)
+    fsh = NamedSharding(mesh, P(None, "frames"))
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        frame_shard_map=mesh,
+    )
+    p = shard_params(params, mesh)
+    lat_sh = jax.device_put(latents, fsh)
+    with mesh:
+        rep_sm = fns.extract(p, lat_sh, jax.device_put(noise, fsh), uncond,
+                             None, None)
+        for k in rep_ref:
+            np.testing.assert_allclose(
+                np.asarray(rep_sm[k][0]), np.asarray(rep_ref[k][0]),
+                atol=2e-5, rtol=1e-4,
+            )
+        out = fns.sample(p, lat_sh, uncond, cond, rep, None, None)
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_frame_shard_map_validates():
+    """Option conflicts fail fast: controlnet, non-inflated GroupNorm, and
+    mixing the two frame-sharding flavors."""
+    import dataclasses
+
+    import pytest
+
+    from motionclone_tpu.parallel.mesh import (
+        frame_sharding,
+        make_mesh_video,
+    )
+
+    unet_cfg, sched_cfg, infer_cfg, *_ = _tiny_setup(1, seed=0)
+    mesh = make_mesh_video(frames=F)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg, frame_shard_map=mesh,
+            frame_sharding=frame_sharding(mesh),
+        )
+    with pytest.raises(ValueError, match="controlnet"):
+        make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg, frame_shard_map=mesh,
+            controlnet_apply=lambda *a: None,
+        )
+    cfg_gn = dataclasses.replace(unet_cfg, use_inflated_groupnorm=False)
+    with pytest.raises(ValueError, match="inflated"):
+        make_sampling_fns(
+            cfg_gn, sched_cfg, infer_cfg, frame_shard_map=mesh
+        )
+
+
 def test_make_mesh_video_validates_axis_sizes():
     import pytest
 
