@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 from typing import Any, Dict, Mapping, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,8 +66,6 @@ def motion_guidance_loss(
     taken over the *global* element count via ``psum``, so every shard
     returns the full-loss value and gradients compose exactly.
     """
-    import jax
-
     losses = []
     for name in sorted(current_probs.keys()):
         values, indices = motion_representation[name]

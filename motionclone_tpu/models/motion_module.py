@@ -96,7 +96,16 @@ class VersatileAttention(nn.Module):
             )
             if self.frames_axis is not None:
                 # sharded frame axis: this shard holds global frames
-                # [start, start + f) — slice its PE rows dynamically
+                # [start, start + f) — slice its PE rows dynamically.
+                # dynamic_slice clamps out-of-range starts, which would
+                # silently reuse another shard's rows where the unsharded
+                # path fails loudly — validate the global length statically
+                fk = f * jax.lax.axis_size(self.frames_axis)
+                if fk > pe.shape[0]:
+                    raise ValueError(
+                        f"video_length {fk} exceeds the positional-encoding "
+                        f"table ({pe.shape[0]} rows)"
+                    )
                 start = jax.lax.axis_index(self.frames_axis) * f
                 pe = jax.lax.dynamic_slice_in_dim(pe, start, f, 0)
             else:

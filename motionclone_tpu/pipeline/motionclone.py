@@ -143,16 +143,19 @@ def make_sampling_fns(
 
     ``frame_shard_map``: optional ``Mesh`` with a ``frames`` axis — the
     **explicit-collective** variant of frame sharding.  The whole scan
-    chunk runs under ``jax.shard_map``: every chip executes the UNet on its
-    local frames *with the fused Pallas kernels intact* (unlike the GSPMD
-    path, which must fall back to pure-XLA ops), and the temporal motion
-    modules ``all_gather`` keys/values across the frame shards over ICI
-    (models.motion_module.VersatileAttention with ``frames_axis``); the
-    guidance loss psums its per-shard partials so gradients compose
-    exactly.  Requirements: no controlnet (use the GSPMD path for i2v),
-    ``use_inflated_groupnorm`` (per-frame statistics stay shard-local),
-    and ``video_length`` divisible by the ``frames`` axis size.  Mutually
-    exclusive with ``frame_sharding``.
+    chunk runs under ``jax.shard_map``: every chip executes the per-frame
+    work (spatial transformers, resnets — the bulk of the cost) on its
+    local frames with the fused Pallas kernels intact (unlike the GSPMD
+    path, which must fall back to pure-XLA ops everywhere); the temporal
+    motion modules ``all_gather`` keys/values across the frame shards over
+    ICI and run XLA attention over the gathered rectangular (f_local,
+    f_global) blocks (models.motion_module.VersatileAttention with
+    ``frames_axis``; a rectangular Pallas temporal kernel is a possible
+    follow-up); the guidance loss psums its per-shard partials so gradients
+    compose exactly.  Requirements: no controlnet (use the GSPMD path for
+    i2v), ``use_inflated_groupnorm`` (per-frame statistics stay
+    shard-local), and ``video_length`` divisible by the ``frames`` axis
+    size.  Mutually exclusive with ``frame_sharding``.
     """
     if frame_shard_map is not None:
         if frame_sharding is not None:
@@ -743,11 +746,11 @@ class MotionClonePipeline:
         # latent placement: both frame-sharding flavors put the frame axis
         # of the (B, F, H, W, C) tensors on the mesh's ``frames`` axis
         if frame_sharding is None and frame_shard_map is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            frame_sharding = NamedSharding(
-                frame_shard_map, PartitionSpec(None, "frames")
+            from motionclone_tpu.parallel.mesh import (
+                frame_sharding as _frame_sharding,
             )
+
+            frame_sharding = _frame_sharding(frame_shard_map)
         self.frame_sharding = frame_sharding
         self.dtype = dtype
 

@@ -140,6 +140,10 @@ class MotionCloneRuntime:
         self.attention_impl = attention_impl
         self.frame_sharding = None
         self.frame_shard_map = None
+
+        model_config_path = os.path.join(config_root, infer_cfg.model_config)
+        self.unet_cfg, self.sched_cfg = load_model_config(model_config_path)
+
         if frame_shard:
             from motionclone_tpu.parallel.mesh import (
                 frame_sharding as _frame_sharding,
@@ -157,24 +161,21 @@ class MotionCloneRuntime:
                     f"got {frame_shard_mode!r}"
                 )
             mesh = make_mesh_video(frames=frame_shard)
-            if frame_shard_mode == "shardmap" and not infer_cfg.controlnet_path:
+            unsupported = (
+                "controlnet workloads"
+                if infer_cfg.controlnet_path
+                else "" if self.unet_cfg.use_inflated_groupnorm
+                else "global (non-inflated) GroupNorm statistics"
+            )
+            if frame_shard_mode == "shardmap" and not unsupported:
                 self.frame_shard_map = mesh
             else:
-                # i2v/controlnet workloads use the GSPMD path (shard_map
-                # mode does not run the controlnet)
+                if frame_shard_mode == "shardmap":
+                    print(
+                        f"frame-shard: shardmap mode does not support "
+                        f"{unsupported}; using gspmd"
+                    )
                 self.frame_sharding = _frame_sharding(mesh)
-
-        model_config_path = os.path.join(config_root, infer_cfg.model_config)
-        self.unet_cfg, self.sched_cfg = load_model_config(model_config_path)
-        if self.frame_shard_map is not None and not self.unet_cfg.use_inflated_groupnorm:
-            # shard_map mode needs per-frame GroupNorm statistics; fall back
-            # to the automatic-partitioning path for global-stats configs
-            from motionclone_tpu.parallel.mesh import (
-                frame_sharding as _frame_sharding,
-            )
-
-            self.frame_sharding = _frame_sharding(self.frame_shard_map)
-            self.frame_shard_map = None
         self.vae_cfg = VAEConfig()
         self.clip_cfg = CLIPTextConfig()
 
