@@ -147,6 +147,13 @@ def i2v_main(argv: Optional[Sequence[str]] = None) -> None:
             raise ValueError(
                 f"i2v example missing condition_image_paths: {example}"
             )
+        if len(example.image_index) != len(example.condition_image_paths):
+            # reference i2v_video_sample.py:111 asserts this pairing
+            raise ValueError(
+                f"i2v example has {len(example.condition_image_paths)} "
+                f"condition images but {len(example.image_index)} "
+                f"image_index entries: {example}"
+            )
     # pass the validated objects through — the pre-checks and the run see
     # the same config/examples, parsed once
     run_serial(args, cfg=cfg, examples=examples)

@@ -236,6 +236,10 @@ def load_inference_config(path: str, **overrides: Any) -> InferenceConfig:
     Accepts both the reference's ``postive_prompt`` misspelling
     (configs/t2v_camera.yaml:8) and the corrected ``positive_prompt``
     (SURVEY §8: support both keys).
+
+    ``overrides`` are fallback defaults: a key present in the YAML wins,
+    matching the reference's ``config.get("W", args.W)`` precedence
+    (t2v_video_sample.py:27-29 — YAML size keys override the CLI flags).
     """
     raw = load_yaml(path)
     kwargs: dict = {}
@@ -271,7 +275,8 @@ def load_inference_config(path: str, **overrides: Any) -> InferenceConfig:
     take("adapter_lora_path", "adapter_lora_path", str)
     take("adapter_lora_scale", "adapter_lora_scale", float)
 
-    kwargs.update(overrides)
+    for k, v in overrides.items():
+        kwargs.setdefault(k, v)
     cfg = InferenceConfig(**kwargs)
     cfg.validate()
     return cfg

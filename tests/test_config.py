@@ -85,3 +85,14 @@ def test_defaults_hashable():
     cfg = NoiseScheduleConfig()
     hash(cfg)
     hash(InferenceConfig())
+
+
+def test_yaml_size_keys_override_cli_flags(tmp_path):
+    """Reference precedence (t2v_video_sample.py:27-29): a YAML W/H/L key
+    wins over the CLI flag; the flag only fills in absent keys."""
+    p = tmp_path / "c.yaml"
+    p.write_text("W: 256\ninference_steps: 4\nguidance_steps: 2\n")
+    cfg = load_inference_config(str(p), width=512, height=320, video_length=8)
+    assert cfg.width == 256      # YAML wins
+    assert cfg.height == 320     # flag fills the absent key
+    assert cfg.video_length == 8
