@@ -62,9 +62,14 @@ def motion_guidance_loss(
 
     ``axis_name``: inside ``shard_map`` with the query-frame axis sharded
     (sequence parallelism over frames), probs/values/indices hold only the
-    local frames — pass the mesh axis name and the per-example mean is
-    taken over the *global* element count via ``psum``, so every shard
-    returns the full-loss value and gradients compose exactly.
+    local frames — pass the mesh axis name and each shard returns its
+    *partial* of the global-mean MSE (local sum over the global element
+    count; the shards' values sum to the reference loss).  No psum is
+    taken: differentiating the local partial is exactly right, because the
+    cross-shard terms (this shard's K/V feeding other shards' losses)
+    arrive through the ``all_gather`` transpose, which reduce-scatters the
+    cotangents across shards — and an explicit psum of the value would be
+    double-counted by the transpose under ``check_vma=False``.
     """
     losses = []
     for name in sorted(current_probs.keys()):
@@ -75,7 +80,6 @@ def motion_guidance_loss(
         per_example_sum = jnp.sum(sq.reshape(sq.shape[0], -1), axis=1)
         numel = int(np.prod(sq.shape[1:]))
         if axis_name is not None:
-            per_example_sum = jax.lax.psum(per_example_sum, axis_name)
             numel *= jax.lax.axis_size(axis_name)
         losses.append(jnp.sum(per_example_sum / numel))
     return jnp.sum(jnp.stack(losses))

@@ -38,6 +38,7 @@ from motionclone_tpu.ops.fused_temporal import (
     supported as fused_temporal_supported,
 )
 from motionclone_tpu.ops.temporal_attention import (
+    pick_tile as pick_temporal_tile,
     supported as temporal_kernel_supported,
     temporal_attention,
 )
@@ -125,16 +126,32 @@ class VersatileAttention(nn.Module):
             fk = f * jax.lax.axis_size(self.frames_axis)
             k = jax.lax.all_gather(k, self.frames_axis, axis=1, tiled=True)
             v = jax.lax.all_gather(v, self.frames_axis, axis=1, tiled=True)
-            qp = _to_pixel_major(q, b, f, s, self.heads, self.dim_head)
-            kp = _to_pixel_major(k, b, fk, s, self.heads, self.dim_head)
-            vp = _to_pixel_major(v, b, fk, s, self.heads, self.dim_head)
-            if return_probs:
-                p = attention_probs(qp, kp, scale)  # (B*S, heads, f, fk) f32
-                probs = p.reshape(b, s, self.heads, f, fk)
-                out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(vp.dtype), vp)
+            rect_ts = (
+                pick_temporal_tile(f, s)
+                if self.attention_impl not in ("xla", "chunked")
+                else None
+            )
+            if not return_probs and rect_ts is not None:
+                # rectangular (f local x fk global) packed Pallas kernel:
+                # natural layout in and out, no pixel-major transposes of
+                # the gathered 42 MB K/V tensors
+                out = temporal_attention(
+                    q, k, v, heads=self.heads, scale=scale, ts=rect_ts
+                )
             else:
-                out = dot_product_attention(qp, kp, vp, scale=scale, impl="xla")
-            out = out.reshape(b, s, f, inner).transpose(0, 2, 1, 3)
+                qp = _to_pixel_major(q, b, f, s, self.heads, self.dim_head)
+                kp = _to_pixel_major(k, b, fk, s, self.heads, self.dim_head)
+                vp = _to_pixel_major(v, b, fk, s, self.heads, self.dim_head)
+                if return_probs:
+                    # (B*S, heads, f, fk) f32
+                    p = attention_probs(qp, kp, scale)
+                    probs = p.reshape(b, s, self.heads, f, fk)
+                    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(vp.dtype), vp)
+                else:
+                    out = dot_product_attention(
+                        qp, kp, vp, scale=scale, impl="xla"
+                    )
+                out = out.reshape(b, s, f, inner).transpose(0, 2, 1, 3)
         elif return_probs:
             # the f x f probability block *is* the motion feature
             # (motionclone_functions.py:260-283)

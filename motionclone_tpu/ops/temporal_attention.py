@@ -37,20 +37,21 @@ NEG_INF = -1e30
 TILE_SPATIAL = 16  # rows = F * TILE_SPATIAL; 16 matches bf16 sublane tiling
 
 
-def _pixel_mask(rows: int, ts: int) -> jnp.ndarray:
-    """(rows, rows) bool: True where row and col share a spatial position."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+def _pixel_mask(rows_q: int, rows_k: int, ts: int) -> jnp.ndarray:
+    """(rows_q, rows_k) bool: True where row and col share a spatial
+    position (row ``r = f*ts + s`` interleaves pixels, so the position is
+    ``r % ts`` on both sides — also for rectangular q/k frame counts)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows_q, rows_k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows_q, rows_k), 1)
     return (r % ts) == (c % ts)
 
 
 def _attend_head(q, k, v, scale, ts):
-    """One head's masked attention: (rows, d) f32/bf16 -> (out, lse)."""
-    rows = q.shape[0]
+    """One head's masked attention: (rows_q, d) x (rows_k, d) -> (out, lse)."""
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    logits = jnp.where(_pixel_mask(rows, ts), logits, NEG_INF)
+    logits = jnp.where(_pixel_mask(q.shape[0], k.shape[0], ts), logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     exp = jnp.exp(logits - m)
     l = jnp.sum(exp, axis=-1, keepdims=True)
@@ -62,11 +63,12 @@ def _attend_head(q, k, v, scale, ts):
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                 scale: float, ts: int, heads: int):
     f, _, hd = q_ref.shape[1:]
+    fk = k_ref.shape[1]
     d = hd // heads
     rows = f * ts
     q = q_ref[0].reshape(rows, hd)
-    k = k_ref[0].reshape(rows, hd)
-    v = v_ref[0].reshape(rows, hd)
+    k = k_ref[0].reshape(fk * ts, hd)
+    v = v_ref[0].reshape(fk * ts, hd)
     # per-head stores keep only one head's f32 temporaries live at a time
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
@@ -81,13 +83,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, ts: int, heads: int):
     f, _, hd = q_ref.shape[1:]
+    fk = k_ref.shape[1]
     d = hd // heads
     rows = f * ts
     q = q_ref[0].reshape(rows, hd)
-    k = k_ref[0].reshape(rows, hd)
-    v = v_ref[0].reshape(rows, hd)
+    k = k_ref[0].reshape(fk * ts, hd)
+    v = v_ref[0].reshape(fk * ts, hd)
     do = do_ref[0].reshape(rows, hd)
-    mask = _pixel_mask(rows, ts)
+    mask = _pixel_mask(rows, fk * ts, ts)
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh = q[:, sl].astype(jnp.float32)
@@ -114,20 +117,23 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
         dv_h = jax.lax.dot_general(
             p, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dq_ref[0, :, :, sl] = dq_h.reshape(f, ts, d).astype(dq_ref.dtype)
-        dk_ref[0, :, :, sl] = dk_h.reshape(f, ts, d).astype(dk_ref.dtype)
-        dv_ref[0, :, :, sl] = dv_h.reshape(f, ts, d).astype(dv_ref.dtype)
+        dk_ref[0, :, :, sl] = dk_h.reshape(fk, ts, d).astype(dk_ref.dtype)
+        dv_ref[0, :, :, sl] = dv_h.reshape(fk, ts, d).astype(dv_ref.dtype)
 
 
-def _specs(b, f, s, hd, heads, ts):
+def _specs(b, f, fk, s, hd, heads, ts):
     grid = (b, s // ts)
     x_spec = pl.BlockSpec(
         (1, f, ts, hd), lambda bi, si: (bi, 0, si, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, fk, ts, hd), lambda bi, si: (bi, 0, si, 0), memory_space=pltpu.VMEM
     )
     lse_spec = pl.BlockSpec(
         (1, 1, heads, f * ts), lambda bi, si: (bi, si, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    return grid, x_spec, lse_spec
+    return grid, x_spec, kv_spec, lse_spec
 
 
 def _interpret() -> bool:
@@ -139,21 +145,22 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 def _temporal_fwd(q, k, v, scale: float, ts: int, heads: int):
     b, f, s, hd = q.shape
-    grid, x_spec, lse_spec = _specs(b, f, s, hd, heads, ts)
+    fk = k.shape[1]
+    grid, x_spec, kv_spec, lse_spec = _specs(b, f, fk, s, hd, heads, ts)
     d = hd // heads
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, ts=ts, heads=heads),
         grid=grid,
-        in_specs=[x_spec, x_spec, x_spec],
+        in_specs=[x_spec, kv_spec, kv_spec],
         out_specs=[x_spec, lse_spec],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct((b, s // ts, heads, f * ts), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * heads * (s // ts) * (f * ts) ** 2 * d,
-            bytes_accessed=8 * b * f * s * hd,
-            transcendentals=b * heads * s * f * f,
+            flops=4 * b * heads * (s // ts) * (f * ts) * (fk * ts) * d,
+            bytes_accessed=4 * b * (f + fk) * s * hd,
+            transcendentals=b * heads * s * f * fk,
         ),
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
@@ -163,13 +170,18 @@ def _temporal_fwd(q, k, v, scale: float, ts: int, heads: int):
 
 def _temporal_bwd(q, k, v, lse, do, scale: float, ts: int, heads: int):
     b, f, s, hd = q.shape
-    grid, x_spec, lse_spec = _specs(b, f, s, hd, heads, ts)
+    fk = k.shape[1]
+    grid, x_spec, kv_spec, lse_spec = _specs(b, f, fk, s, hd, heads, ts)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, ts=ts, heads=heads),
         grid=grid,
-        in_specs=[x_spec] * 4 + [lse_spec],
-        out_specs=[x_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        in_specs=[x_spec, kv_spec, kv_spec, x_spec, lse_spec],
+        out_specs=[x_spec, kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(q, k, v, do, lse)
@@ -201,6 +213,19 @@ def supported(f: int, s: int, ts: int = TILE_SPATIAL) -> bool:
     return s % ts == 0 and f * ts >= 128
 
 
+def pick_tile(f: int, s: int, max_ts: int = 128):
+    """Smallest spatial tile with ``f * ts >= 128`` (one MXU pass of query
+    rows) that divides ``s``, or None.  Small local frame counts — e.g. 2
+    frames per chip under frame sharding — need wider tiles than the
+    default 16 to fill the MXU."""
+    ts = TILE_SPATIAL
+    while ts <= max_ts:
+        if s % ts == 0 and f * ts >= 128:
+            return ts
+        ts *= 2
+    return None
+
+
 def temporal_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -214,9 +239,14 @@ def temporal_attention(
 
     Equivalent to softmax(q_s k_s^T * scale) v_s run independently per
     spatial position s and head, with q/k/v kept in their natural layout.
-    Check :func:`supported` before calling.
+    ``k``/``v`` may carry a different (larger) frame count than ``q`` —
+    the rectangular form used under frame sharding, where the local
+    queries attend to the all_gathered global keys/values.  Check
+    :func:`supported` (with q's frame count) before calling.
     """
     b, f, s, hd = q.shape
+    if k.shape != v.shape or k.shape[0] != b or k.shape[2:] != (s, hd):
+        raise ValueError(f"k/v shape {k.shape} incompatible with q {q.shape}")
     if not supported(f, s, ts):
         raise ValueError(f"unsupported temporal attention shape {q.shape}")
     if hd % heads:

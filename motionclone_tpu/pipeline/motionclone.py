@@ -148,11 +148,12 @@ def make_sampling_fns(
     local frames with the fused Pallas kernels intact (unlike the GSPMD
     path, which must fall back to pure-XLA ops everywhere); the temporal
     motion modules ``all_gather`` keys/values across the frame shards over
-    ICI and run XLA attention over the gathered rectangular (f_local,
-    f_global) blocks (models.motion_module.VersatileAttention with
-    ``frames_axis``; a rectangular Pallas temporal kernel is a possible
-    follow-up); the guidance loss psums its per-shard partials so gradients
-    compose exactly.  Requirements: no controlnet (use the GSPMD path for
+    ICI and run the rectangular (f_local x f_global) packed Pallas temporal
+    kernel on the gathered blocks (models.motion_module.VersatileAttention
+    with ``frames_axis``); each shard differentiates its local partial of
+    the guidance loss — the cross-shard terms arrive through the
+    ``all_gather`` transpose, so gradients compose exactly.  Requirements:
+    no controlnet (use the GSPMD path for
     i2v), ``use_inflated_groupnorm`` (per-frame statistics stay
     shard-local), and ``video_length`` divisible by the ``frames`` axis
     size.  Mutually exclusive with ``frame_sharding``.
@@ -299,10 +300,14 @@ def make_sampling_fns(
         _rep = _P(None, None, None, "frames", None)
 
         def _smap(fn, in_specs, out_specs):
+            # check_vma=False: the Pallas kernels inside (flash/fused/
+            # temporal) declare no varying-mesh-axes metadata on their
+            # out_shapes, which the vma checker requires
             return jax.jit(
                 jax.shard_map(
                     fn, mesh=frame_shard_map,
                     in_specs=in_specs, out_specs=out_specs,
+                    check_vma=False,
                 )
             )
 

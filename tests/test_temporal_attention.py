@@ -97,3 +97,63 @@ def test_rejects_bad_shapes():
     q, k, v = make_qkv(rng, s=30)  # 30 % 16 != 0
     with pytest.raises(ValueError):
         temporal_attention(q, k, v, heads=2, scale=1.0)
+
+
+def reference_attention_rect(q, k, v, heads, scale):
+    """Rectangular per-pixel attention: q (B,Fq,S,HD), k/v (B,Fk,S,HD)."""
+    b, fq, s, hd = q.shape
+    fk = k.shape[1]
+    d = hd // heads
+    qs = q.reshape(b, fq, s, heads, d)
+    ks = k.reshape(b, fk, s, heads, d)
+    vs = v.reshape(b, fk, s, heads, d)
+    logits = jnp.einsum("bfshd,bgshd->bshfg", qs, ks).astype(jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bshfg,bgshd->bfshd", p.astype(vs.dtype), vs)
+    return out.reshape(b, fq, s, hd)
+
+
+def test_rectangular_forward_matches_reference():
+    """q holds the local frame shard, k/v the gathered global frames — the
+    frame-sharded (shard_map) form of the kernel."""
+    rng = np.random.default_rng(0)
+    fq, fk, s, heads, d = 4, 16, 64, 2, 8
+    q = jnp.asarray(rng.normal(size=(1, fq, s, heads * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, fk, s, heads * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, fk, s, heads * d)), jnp.float32)
+    scale = d**-0.5
+    out = temporal_attention(q, k, v, heads=heads, scale=scale, ts=32)
+    ref = reference_attention_rect(q, k, v, heads, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_rectangular_gradients_match_reference():
+    rng = np.random.default_rng(1)
+    fq, fk, s, heads, d = 2, 8, 64, 2, 8
+    q = jnp.asarray(rng.normal(size=(1, fq, s, heads * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, fk, s, heads * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, fk, s, heads * d)), jnp.float32)
+    scale = d**-0.5
+    w = jnp.asarray(rng.normal(size=(1, fq, s, heads * d)), jnp.float32)
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(
+            w * temporal_attention(q, k, v, heads=heads, scale=scale, ts=64)
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(w * reference_attention_rect(q, k, v, heads, scale))
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_k, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4)
+
+
+def test_pick_tile():
+    from motionclone_tpu.ops.temporal_attention import pick_tile
+
+    assert pick_tile(16, 4096) == 16          # full frames: default tile
+    assert pick_tile(2, 4096) == 64           # 2 local frames need ts=64
+    assert pick_tile(1, 4096) == 128
+    assert pick_tile(2, 16) is None           # s too small to widen
