@@ -69,7 +69,11 @@ def motion_guidance_loss(
     cross-shard terms (this shard's K/V feeding other shards' losses)
     arrive through the ``all_gather`` transpose, which reduce-scatters the
     cotangents across shards — and an explicit psum of the value would be
-    double-counted by the transpose under ``check_vma=False``.
+    double-counted by the transpose under ``check_vma=False``.  Contract:
+    this formulation is written for ``jax.shard_map(..., check_vma=False)``
+    (the regime the pipeline uses, forced by the Pallas kernels inside);
+    callers wanting the *value* of the global loss must psum the result
+    themselves outside the differentiated function.
     """
     losses = []
     for name in sorted(current_probs.keys()):

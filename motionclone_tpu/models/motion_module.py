@@ -89,6 +89,12 @@ class VersatileAttention(nn.Module):
         # directly, so no pixel-major transpose is ever materialized
         # (the reference pays two full-tensor rearranges per block,
         # motion_module.py:279,309).
+        # global frame count under frame sharding (None axis -> local == global)
+        fk = (
+            f * jax.lax.axis_size(self.frames_axis)
+            if self.frames_axis is not None
+            else f
+        )
         h = x
         if self.use_pos_encoding:
             pe = jnp.asarray(
@@ -101,7 +107,6 @@ class VersatileAttention(nn.Module):
                 # dynamic_slice clamps out-of-range starts, which would
                 # silently reuse another shard's rows where the unsharded
                 # path fails loudly — validate the global length statically
-                fk = f * jax.lax.axis_size(self.frames_axis)
                 if fk > pe.shape[0]:
                     raise ValueError(
                         f"video_length {fk} exceeds the positional-encoding "
@@ -123,7 +128,6 @@ class VersatileAttention(nn.Module):
             # sequence parallelism over frames (shard_map): queries stay
             # local, keys/values are gathered across the frame shards over
             # ICI — every pixel's f-long sequence attends to all frames
-            fk = f * jax.lax.axis_size(self.frames_axis)
             k = jax.lax.all_gather(k, self.frames_axis, axis=1, tiled=True)
             v = jax.lax.all_gather(v, self.frames_axis, axis=1, tiled=True)
             rect_ts = (

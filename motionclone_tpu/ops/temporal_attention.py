@@ -46,12 +46,12 @@ def _pixel_mask(rows_q: int, rows_k: int, ts: int) -> jnp.ndarray:
     return (r % ts) == (c % ts)
 
 
-def _attend_head(q, k, v, scale, ts):
+def _attend_head(q, k, v, scale, mask):
     """One head's masked attention: (rows_q, d) x (rows_k, d) -> (out, lse)."""
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    logits = jnp.where(_pixel_mask(q.shape[0], k.shape[0], ts), logits, NEG_INF)
+    logits = jnp.where(mask, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     exp = jnp.exp(logits - m)
     l = jnp.sum(exp, axis=-1, keepdims=True)
@@ -69,12 +69,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     q = q_ref[0].reshape(rows, hd)
     k = k_ref[0].reshape(fk * ts, hd)
     v = v_ref[0].reshape(fk * ts, hd)
+    mask = _pixel_mask(rows, fk * ts, ts)
     # per-head stores keep only one head's f32 temporaries live at a time
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         out_h, lse_h = _attend_head(
             q[:, sl].astype(jnp.float32), k[:, sl].astype(jnp.float32),
-            v[:, sl], scale, ts,
+            v[:, sl], scale, mask,
         )
         o_ref[0, :, :, sl] = out_h.reshape(f, ts, d).astype(o_ref.dtype)
         lse_ref[0, 0, h] = lse_h
@@ -220,7 +221,7 @@ def pick_tile(f: int, s: int, max_ts: int = 128):
     default 16 to fill the MXU."""
     ts = TILE_SPATIAL
     while ts <= max_ts:
-        if s % ts == 0 and f * ts >= 128:
+        if supported(f, s, ts):
             return ts
         ts *= 2
     return None

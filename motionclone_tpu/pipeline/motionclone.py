@@ -302,7 +302,12 @@ def make_sampling_fns(
         def _smap(fn, in_specs, out_specs):
             # check_vma=False: the Pallas kernels inside (flash/fused/
             # temporal) declare no varying-mesh-axes metadata on their
-            # out_shapes, which the vma checker requires
+            # out_shapes, which the vma checker rejects.  Consequences the
+            # sharded code is written for: no replication checking (spec
+            # mistakes become silent numerics, guarded by the equivalence
+            # tests instead), and the guidance loss must NOT psum its value
+            # (see diffusion.guidance.motion_guidance_loss — the scan
+            # discards the per-shard partial loss anyway)
             return jax.jit(
                 jax.shard_map(
                     fn, mesh=frame_shard_map,

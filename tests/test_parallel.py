@@ -300,9 +300,9 @@ def test_frame_and_cfg_pair_sharding_matches_unsharded():
 
 
 def test_frame_shard_map_matches_unsharded():
-    """shard_map frame sharding (explicit temporal-attention all_gathers +
-    loss psum, per-shard kernels) reproduces the unsharded result for both
-    extraction and guided sampling."""
+    """shard_map frame sharding (explicit temporal-attention all_gathers,
+    per-shard partial guidance loss, per-shard kernels) reproduces the
+    unsharded result for both extraction and guided sampling."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from motionclone_tpu.parallel.mesh import make_mesh_video
@@ -423,6 +423,33 @@ def test_sharded_temporal_module_uses_rect_kernel():
     out = run(params, x)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4
+    )
+
+    # gradients: the rect kernel's custom VJP must compose with the
+    # all_gather transpose (reduce_scatter of dk/dv across shards) — the
+    # exact path the guided phase runs on TPU
+    w = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+
+    g_ref = jax.grad(
+        lambda xs: jnp.sum(w * base.apply(params, xs)[0])
+    )(x)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, "frames"), P(None, "frames")),
+        out_specs=P(None, "frames"),
+        check_vma=False,
+    )
+    def grad_sharded(p, xs, ws):
+        # per-shard partial objective; cross-shard terms arrive through the
+        # all_gather transpose (same contract as the guidance loss)
+        return jax.grad(lambda xl: jnp.sum(ws * sharded.apply(p, xl)[0]))(xs)
+
+    g = grad_sharded(params, x, w)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=5e-5, rtol=1e-4
     )
 
 
