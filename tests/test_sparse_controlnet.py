@@ -259,3 +259,88 @@ def test_batched_controlnet_scale_matches_per_example():
         (cn_cond_t, cn_mask, scale_vec),
     )
     np.testing.assert_allclose(np.asarray(out), singles, atol=1e-3, rtol=2e-3)
+
+
+def test_i2v_frame_sharded_matches_unsharded():
+    """The GSPMD frame-sharding path with a controlnet (the i2v
+    --frame-shard configuration) reproduces the unsharded result."""
+    from motionclone_tpu.parallel.mesh import (
+        frame_sharding,
+        make_mesh_video,
+        shard_params,
+    )
+    from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+
+    unet_cfg = tiny_unet_config()
+    cn_cfg = tiny_cn_config(simplified=True)
+    infer_cfg = InferenceConfig(
+        inference_steps=3,
+        guidance_steps=1,
+        guidance_fraction=0.3,
+        warm_up_steps=1,
+        cool_up_steps=0,
+        motion_guidance_weight=50.0,
+        motion_guidance_blocks=("up_blocks.1",),
+        width=W * 8,
+        height=H * 8,
+        video_length=F,
+    )
+    sched_cfg = NoiseScheduleConfig()
+
+    unet = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
+    sample = jnp.zeros((B, F, H, W, 4))
+    ctx = jnp.zeros((B, 77, unet_cfg.cross_attention_dim))
+    unet_params = unet.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx)
+    cn_model = SparseControlNetModel(cfg=cn_cfg)
+    cn_params = cn_model.init(
+        jax.random.PRNGKey(1), sample, jnp.array([1]), ctx,
+        jnp.zeros((B, F, H, W, 4)), jnp.zeros((B, F, H, W, 1)),
+    )
+
+    rng = np.random.default_rng(9)
+    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
+    uncond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    cond_emb = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
+    frames = jnp.asarray(rng.normal(size=(B, 1, H, W, 4)), jnp.float32)
+    cn_cond_t, cn_mask = scatter_condition(frames, (0,), F)
+    cn_cond = (cn_cond_t, cn_mask, 1.0)
+    s_hw = (H // 4) * (W // 4)
+    heads = unet_cfg.motion_module.num_attention_heads
+    rep = {}
+    for m in range(2):
+        for a in range(2):
+            name = (
+                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
+                f".transformer_blocks.0.attention_blocks.{a}"
+            )
+            rep[name] = (
+                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, heads, F, 1)), jnp.float32),
+                jnp.asarray(rng.integers(0, F, size=(B, s_hw, heads, F, 1)), np.uint8),
+            )
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        controlnet_apply=make_controlnet_apply(cn_model),
+    )
+    ref = np.asarray(
+        fns_ref.sample(unet_params, latents, uncond, cond_emb, rep,
+                       cn_params, cn_cond)
+    )
+
+    mesh = make_mesh_video(frames=F)
+    fsh = frame_sharding(mesh)
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        controlnet_apply=make_controlnet_apply(cn_model),
+        frame_sharding=fsh,
+    )
+    with mesh:
+        out = fns.sample(
+            shard_params(unet_params, mesh),
+            jax.device_put(latents, fsh),
+            uncond, cond_emb, rep,
+            shard_params(cn_params, mesh),
+            (jax.device_put(cn_cond_t, fsh), jax.device_put(cn_mask, fsh), 1.0),
+        )
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
