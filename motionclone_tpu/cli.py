@@ -173,11 +173,11 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
         "(even device count; best when chips outnumber examples)",
     )
     args = parser.parse_args(argv)
-    if args.frame_shard:
-        raise SystemExit(
-            "--frame-shard is a single-video latency axis; sweeps shard "
-            "examples instead (use t2v/i2v drivers for frame sharding)"
-        )
+    # sweeps own their mesh: the runtime is built unsharded and run_sweep
+    # composes a (data, frames) mesh itself (GSPMD mode; shardmap does not
+    # batch examples)
+    frame_shard = args.frame_shard
+    args.frame_shard = 0
     _, runtime = _setup(args)
     examples = load_examples(args.examples)
     print(f"{len(examples)} examples over {len(jax.devices())} devices")
@@ -190,6 +190,7 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
         config_root=args.config_root,
         num_devices=args.num_devices,
         cfg_pair=args.cfg_pair,
+        frame_shard=frame_shard,
         resume=args.resume,
     )
     for p in paths:

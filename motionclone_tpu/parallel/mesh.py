@@ -84,10 +84,31 @@ def make_mesh_video(
     )
 
 
+def make_mesh_data_frames(
+    data: int, frames: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """A (data, frames) mesh: independent examples shard over ``data`` AND
+    each example's frame axis shards over ``frames`` — the composed
+    throughput x latency layout for sweeps on large slices."""
+    if data < 1 or frames < 1:
+        raise ValueError(f"data={data} and frames={frames} must be >= 1")
+    if devices is None:
+        devices = jax.devices()
+    n = data * frames
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(
+        np.asarray(devices[:n]).reshape(data, frames),
+        axis_names=("data", "frames"),
+    )
+
+
 def frame_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for (B, F, H, W, C) video tensors: frame axis over
-    ``frames``, everything else replicated within a cfg group."""
-    return NamedSharding(mesh, P(None, "frames"))
+    ``frames``; the batch axis over ``data`` when the mesh has one
+    (data x frames sweeps), else replicated within a cfg group."""
+    batch = "data" if "data" in mesh.axis_names else None
+    return NamedSharding(mesh, P(batch, "frames"))
 
 
 def cfg_pair_sharding(mesh: Mesh) -> NamedSharding:

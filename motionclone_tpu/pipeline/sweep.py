@@ -59,6 +59,7 @@ def run_sweep(
     config_root: str = ".",
     num_devices: int = 0,
     cfg_pair: bool = False,
+    frame_shard: int = 0,
     resume: bool = False,
 ) -> List[str]:
     """Run all examples data-parallel; returns written mp4 paths.
@@ -75,6 +76,10 @@ def run_sweep(
     uncond/cond UNet work across the cfg groups (SURVEY §2.5).  Best when
     there are more chips than pending examples.
 
+    ``frame_shard``: additionally split every example's frame axis over
+    that many devices (a (data, frames) mesh, GSPMD mode) — examples per
+    batch = devices / frame_shard.  Mutually exclusive with ``cfg_pair``.
+
     ``resume``: checkpoint each batch's sampling loop per chunk under
     ``output_dir``, keyed by a content hash of the batch's examples+seeds,
     so an interrupted sweep rerun continues exactly where it stopped.
@@ -85,6 +90,8 @@ def run_sweep(
 
     devices = jax.devices()
     n_dev = num_devices or len(devices)
+    if cfg_pair and frame_shard:
+        raise ValueError("cfg_pair and frame_shard sweeps do not compose yet")
     if cfg_pair:
         if n_dev < 2 or n_dev % 2:
             raise ValueError(f"cfg_pair needs an even device count, got {n_dev}")
@@ -101,6 +108,51 @@ def run_sweep(
             controlnet_apply=runtime.pipeline.controlnet_apply,
         )
         n_dev = n_dev // 2  # examples per batch = data-axis size
+    elif frame_shard:
+        if frame_shard < 1 or cfg.video_length % frame_shard:
+            raise ValueError(
+                f"frame_shard {frame_shard} must be >= 1 and divide "
+                f"video_length={cfg.video_length}"
+            )
+        if n_dev % frame_shard:
+            raise ValueError(
+                f"frame_shard {frame_shard} must divide the device count "
+                f"{n_dev}"
+            )
+        from motionclone_tpu.parallel.mesh import (
+            frame_sharding,
+            make_mesh_data_frames,
+        )
+        from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+
+        mesh = make_mesh_data_frames(
+            data=n_dev // frame_shard, frames=frame_shard, devices=devices
+        )
+        cn_apply = runtime.pipeline.controlnet_apply
+        if cn_apply is not None:
+            # the controlnet runs inside the GSPMD-sharded steps: rebuild
+            # it on a Pallas-free impl (custom calls can't be partitioned)
+            from motionclone_tpu.models.sparse_controlnet import (
+                SparseControlNetModel,
+            )
+            from motionclone_tpu.pipeline.motionclone import (
+                make_controlnet_apply,
+            )
+
+            cn_apply = make_controlnet_apply(SparseControlNetModel(
+                cfg=runtime.cn_cfg, attention_impl="chunked",
+                dtype=runtime.dtype,
+            ))
+        fns = make_sampling_fns(
+            runtime.unet_cfg,
+            runtime.sched_cfg,
+            runtime.infer_cfg,
+            dtype=runtime.dtype,
+            attention_impl=runtime.attention_impl,
+            frame_sharding=frame_sharding(mesh),
+            controlnet_apply=cn_apply,
+        )
+        n_dev = n_dev // frame_shard  # examples per batch = data-axis size
     else:
         mesh = make_mesh(n_dev)
         fns = runtime.pipeline.fns

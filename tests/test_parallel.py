@@ -374,6 +374,46 @@ def test_frame_shard_map_validates():
         )
 
 
+def test_data_frames_sharding_matches_unsharded():
+    """(data, frames) mesh: examples over ``data`` AND each example's frame
+    axis over ``frames`` (the composed sweep layout) reproduces the plain
+    batched result."""
+    from motionclone_tpu.parallel.mesh import (
+        frame_sharding,
+        make_mesh_data_frames,
+    )
+
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _tiny_setup(2, seed=10, guidance_steps=1, cool_up_steps=0)
+    )
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    )
+    ref = np.asarray(
+        fns_ref.sample(params, latents, uncond, cond, rep, None, None)
+    )
+
+    mesh = make_mesh_data_frames(data=2, frames=F)  # 2 x 4 devices
+    fsh = frame_sharding(mesh)
+    assert fsh.spec == (  # batch over data AND frames over frames
+        jax.sharding.PartitionSpec("data", "frames")
+    )
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        frame_sharding=fsh,
+    )
+    p = shard_params(params, mesh)
+    with mesh:
+        out = fns.sample(
+            p,
+            jax.device_put(latents, fsh),
+            uncond, cond, rep, None, None,
+        )
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
 def test_sharded_temporal_module_uses_rect_kernel():
     """VanillaTemporalModule under shard_map: all_gathered K/V + the
     rectangular packed temporal kernel (shapes chosen so pick_tile fires:
@@ -481,3 +521,18 @@ def test_sweep_cfg_pair_validates_device_count(tmp_path):
             num_devices=3,
             cfg_pair=True,
         )
+
+    dummy_f = types.SimpleNamespace(
+        infer_cfg=types.SimpleNamespace(video_length=4)
+    )
+    common = dict(
+        motion_rep_dir=str(tmp_path / "rep"),
+        output_dir=str(tmp_path / "out"),
+    )
+    with pytest.raises(ValueError, match="do not compose"):
+        run_sweep(dummy_f, [], num_devices=4, cfg_pair=True, frame_shard=2,
+                  **common)
+    with pytest.raises(ValueError, match="divide"):
+        run_sweep(dummy_f, [], num_devices=6, frame_shard=3, **common)
+    with pytest.raises(ValueError, match="divide the device count"):
+        run_sweep(dummy_f, [], num_devices=5, frame_shard=2, **common)
