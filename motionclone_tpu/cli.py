@@ -58,8 +58,10 @@ def build_parser(default_config: str, default_examples: str) -> argparse.Argumen
         type=int,
         default=0,
         metavar="N",
-        help="split the frame axis over N local devices (single-video "
-        "latency scaling; N must divide --L)",
+        help="split the frame axis over N local devices (N must divide "
+        "--L). t2v/i2v: single-video latency scaling; sweeps: composes "
+        "with example data-parallelism over a (data, frames) mesh "
+        "(examples per batch = devices / N; always gspmd mode)",
     )
     parser.add_argument(
         "--frame-shard-mode",
@@ -178,6 +180,9 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
     # batch examples)
     frame_shard = args.frame_shard
     args.frame_shard = 0
+    if frame_shard and args.frame_shard_mode == "shardmap":
+        print("sweeps always use gspmd frame sharding; ignoring "
+              "--frame-shard-mode shardmap")
     _, runtime = _setup(args)
     examples = load_examples(args.examples)
     print(f"{len(examples)} examples over {len(jax.devices())} devices")

@@ -14,11 +14,28 @@ one code path.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _mesh_2axes(
+    sizes: Tuple[int, int], names: Tuple[str, str], devices: Optional[Sequence]
+) -> Mesh:
+    """Validated 2-axis mesh over the first prod(sizes) devices."""
+    a, b = sizes
+    if a < 1 or b < 1:
+        raise ValueError(
+            f"{names[0]}={a} and {names[1]}={b} must be >= 1"
+        )
+    if devices is None:
+        devices = jax.devices()
+    n = a * b
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(a, b), axis_names=names)
 
 
 def make_mesh(
@@ -45,14 +62,7 @@ def make_mesh_2d(
     the two additive parallel axes of SURVEY §2.5.  Adjacent device pairs
     form the ``cfg`` groups so the pair's concat/split rides one ICI hop.
     """
-    if devices is None:
-        devices = jax.devices()
-    n = data * cfg
-    if n > len(devices):
-        raise ValueError(f"requested {n} devices, have {len(devices)}")
-    return Mesh(
-        np.asarray(devices[:n]).reshape(data, cfg), axis_names=("data", "cfg")
-    )
+    return _mesh_2axes((data, cfg), ("data", "cfg"), devices)
 
 
 def make_mesh_video(
@@ -71,17 +81,7 @@ def make_mesh_video(
     splits the classifier-free-guidance pair (uncond/cond UNet evaluations)
     across a second axis.
     """
-    if frames < 1 or cfg < 1:
-        raise ValueError(f"frames={frames} and cfg={cfg} must be >= 1")
-    if devices is None:
-        devices = jax.devices()
-    n = cfg * frames
-    if n > len(devices):
-        raise ValueError(f"requested {n} devices, have {len(devices)}")
-    return Mesh(
-        np.asarray(devices[:n]).reshape(cfg, frames),
-        axis_names=("cfg", "frames"),
-    )
+    return _mesh_2axes((cfg, frames), ("cfg", "frames"), devices)
 
 
 def make_mesh_data_frames(
@@ -90,17 +90,7 @@ def make_mesh_data_frames(
     """A (data, frames) mesh: independent examples shard over ``data`` AND
     each example's frame axis shards over ``frames`` — the composed
     throughput x latency layout for sweeps on large slices."""
-    if data < 1 or frames < 1:
-        raise ValueError(f"data={data} and frames={frames} must be >= 1")
-    if devices is None:
-        devices = jax.devices()
-    n = data * frames
-    if n > len(devices):
-        raise ValueError(f"requested {n} devices, have {len(devices)}")
-    return Mesh(
-        np.asarray(devices[:n]).reshape(data, frames),
-        axis_names=("data", "frames"),
-    )
+    return _mesh_2axes((data, frames), ("data", "frames"), devices)
 
 
 def frame_sharding(mesh: Mesh) -> NamedSharding:

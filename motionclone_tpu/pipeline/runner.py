@@ -144,6 +144,11 @@ class MotionCloneRuntime:
         model_config_path = os.path.join(config_root, infer_cfg.model_config)
         self.unet_cfg, self.sched_cfg = load_model_config(model_config_path)
 
+        if frame_shard == 1:
+            # a 1-wide frames axis adds no parallelism but would force the
+            # Pallas-free impls — run unsharded instead
+            print("frame-shard 1 is a no-op; running unsharded")
+            frame_shard = 0
         if frame_shard:
             from motionclone_tpu.parallel.mesh import (
                 frame_sharding as _frame_sharding,

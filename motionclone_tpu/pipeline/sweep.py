@@ -90,6 +90,11 @@ def run_sweep(
 
     devices = jax.devices()
     n_dev = num_devices or len(devices)
+    if frame_shard == 1:
+        # a 1-wide frames axis adds no parallelism but would force the
+        # Pallas-free impls — run the plain data sweep instead
+        print("frame_shard=1 is a no-op; running the plain data sweep")
+        frame_shard = 0
     if cfg_pair and frame_shard:
         raise ValueError("cfg_pair and frame_shard sweeps do not compose yet")
     if cfg_pair:
@@ -129,9 +134,12 @@ def run_sweep(
             data=n_dev // frame_shard, frames=frame_shard, devices=devices
         )
         cn_apply = runtime.pipeline.controlnet_apply
-        if cn_apply is not None:
+        if cn_apply is not None and runtime.attention_impl not in (
+            "xla", "chunked"
+        ):
             # the controlnet runs inside the GSPMD-sharded steps: rebuild
-            # it on a Pallas-free impl (custom calls can't be partitioned)
+            # it on a Pallas-free impl (custom calls can't be partitioned);
+            # an explicit Pallas-free --attention-impl is already safe
             from motionclone_tpu.models.sparse_controlnet import (
                 SparseControlNetModel,
             )

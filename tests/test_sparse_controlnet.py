@@ -185,14 +185,13 @@ def test_i2v_pipeline_end_to_end():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_batched_controlnet_scale_matches_per_example():
-    """Batched i2v with a per-example (B,1,1,1,1) conditioning-scale vector
-    (the sweep path) reproduces per-example runs with float scales."""
-    from motionclone_tpu.pipeline.motionclone import make_sampling_fns
 
+def _i2v_setup(batch: int, seed: int, **cfg_overrides):
+    """Shared tiny-i2v fixture: configs, initialized UNet+controlnet, RNG
+    inputs (latents/embeddings/condition frames), and a motion rep."""
     unet_cfg = tiny_unet_config()
     cn_cfg = tiny_cn_config(simplified=True)
-    infer_cfg = InferenceConfig(
+    knobs = dict(
         inference_steps=3,
         guidance_steps=1,
         guidance_fraction=0.3,
@@ -204,6 +203,8 @@ def test_batched_controlnet_scale_matches_per_example():
         height=H * 8,
         video_length=F,
     )
+    knobs.update(cfg_overrides)
+    infer_cfg = InferenceConfig(**knobs)
     sched_cfg = NoiseScheduleConfig()
 
     unet = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
@@ -215,19 +216,16 @@ def test_batched_controlnet_scale_matches_per_example():
         jax.random.PRNGKey(1), sample, jnp.array([1]), ctx,
         jnp.zeros((1, F, H, W, 4)), jnp.zeros((1, F, H, W, 1)),
     )
-    fns = make_sampling_fns(
-        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
-        controlnet_apply=make_controlnet_apply(cn_model),
-    )
 
-    nb = 2
-    rng = np.random.default_rng(3)
-    latents = jnp.asarray(rng.normal(size=(nb, F, H, W, 4)), jnp.float32)
-    uncond = jnp.asarray(rng.normal(size=(nb, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    cond_emb = jnp.asarray(rng.normal(size=(nb, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    frames = jnp.asarray(rng.normal(size=(nb, 1, H, W, 4)), jnp.float32)
-    cn_cond_t, cn_mask = scatter_condition(frames, (0,), F)
-    scales = [1.0, 0.5]
+    rng = np.random.default_rng(seed)
+    latents = jnp.asarray(rng.normal(size=(batch, F, H, W, 4)), jnp.float32)
+    uncond = jnp.asarray(
+        rng.normal(size=(batch, 77, unet_cfg.cross_attention_dim)), jnp.float32
+    )
+    cond_emb = jnp.asarray(
+        rng.normal(size=(batch, 77, unet_cfg.cross_attention_dim)), jnp.float32
+    )
+    frames = jnp.asarray(rng.normal(size=(batch, 1, H, W, 4)), jnp.float32)
     s_hw = (H // 4) * (W // 4)
     heads = unet_cfg.motion_module.num_attention_heads
     rep = {}
@@ -238,9 +236,33 @@ def test_batched_controlnet_scale_matches_per_example():
                 f".transformer_blocks.0.attention_blocks.{a}"
             )
             rep[name] = (
-                jnp.asarray(rng.uniform(0.2, 0.9, size=(nb, s_hw, heads, F, 1)), jnp.float32),
-                jnp.asarray(rng.integers(0, F, size=(nb, s_hw, heads, F, 1)), np.uint8),
+                jnp.asarray(
+                    rng.uniform(0.2, 0.9, size=(batch, s_hw, heads, F, 1)),
+                    jnp.float32,
+                ),
+                jnp.asarray(
+                    rng.integers(0, F, size=(batch, s_hw, heads, F, 1)),
+                    np.uint8,
+                ),
             )
+    return (unet_cfg, cn_cfg, sched_cfg, infer_cfg, unet_params, cn_model,
+            cn_params, latents, uncond, cond_emb, frames, rep)
+
+
+def test_batched_controlnet_scale_matches_per_example():
+    """Batched i2v with a per-example (B,1,1,1,1) conditioning-scale vector
+    (the sweep path) reproduces per-example runs with float scales."""
+    from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+
+    nb = 2
+    (unet_cfg, cn_cfg, sched_cfg, infer_cfg, unet_params, cn_model,
+     cn_params, latents, uncond, cond_emb, frames, rep) = _i2v_setup(nb, seed=3)
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+        controlnet_apply=make_controlnet_apply(cn_model),
+    )
+    cn_cond_t, cn_mask = scatter_condition(frames, (0,), F)
+    scales = [1.0, 0.5]
 
     singles = []
     for i in range(nb):
@@ -271,52 +293,10 @@ def test_i2v_frame_sharded_matches_unsharded():
     )
     from motionclone_tpu.pipeline.motionclone import make_sampling_fns
 
-    unet_cfg = tiny_unet_config()
-    cn_cfg = tiny_cn_config(simplified=True)
-    infer_cfg = InferenceConfig(
-        inference_steps=3,
-        guidance_steps=1,
-        guidance_fraction=0.3,
-        warm_up_steps=1,
-        cool_up_steps=0,
-        motion_guidance_weight=50.0,
-        motion_guidance_blocks=("up_blocks.1",),
-        width=W * 8,
-        height=H * 8,
-        video_length=F,
-    )
-    sched_cfg = NoiseScheduleConfig()
-
-    unet = UNet3DConditionModel(cfg=unet_cfg, guidance_blocks=("up_blocks.1",))
-    sample = jnp.zeros((B, F, H, W, 4))
-    ctx = jnp.zeros((B, 77, unet_cfg.cross_attention_dim))
-    unet_params = unet.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx)
-    cn_model = SparseControlNetModel(cfg=cn_cfg)
-    cn_params = cn_model.init(
-        jax.random.PRNGKey(1), sample, jnp.array([1]), ctx,
-        jnp.zeros((B, F, H, W, 4)), jnp.zeros((B, F, H, W, 1)),
-    )
-
-    rng = np.random.default_rng(9)
-    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32)
-    uncond = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    cond_emb = jnp.asarray(rng.normal(size=(B, 77, unet_cfg.cross_attention_dim)), jnp.float32)
-    frames = jnp.asarray(rng.normal(size=(B, 1, H, W, 4)), jnp.float32)
+    (unet_cfg, cn_cfg, sched_cfg, infer_cfg, unet_params, cn_model,
+     cn_params, latents, uncond, cond_emb, frames, rep) = _i2v_setup(B, seed=9)
     cn_cond_t, cn_mask = scatter_condition(frames, (0,), F)
     cn_cond = (cn_cond_t, cn_mask, 1.0)
-    s_hw = (H // 4) * (W // 4)
-    heads = unet_cfg.motion_module.num_attention_heads
-    rep = {}
-    for m in range(2):
-        for a in range(2):
-            name = (
-                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
-                f".transformer_blocks.0.attention_blocks.{a}"
-            )
-            rep[name] = (
-                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, heads, F, 1)), jnp.float32),
-                jnp.asarray(rng.integers(0, F, size=(B, s_hw, heads, F, 1)), np.uint8),
-            )
 
     fns_ref = make_sampling_fns(
         unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
