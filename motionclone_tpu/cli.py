@@ -180,9 +180,10 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
     # batch examples)
     frame_shard = args.frame_shard
     args.frame_shard = 0
-    if frame_shard and args.frame_shard_mode == "shardmap":
-        print("sweeps always use gspmd frame sharding; ignoring "
-              "--frame-shard-mode shardmap")
+    if frame_shard:
+        # "shardmap" is the flag default, so don't scold — just state the
+        # mode sweeps actually run
+        print("sweep frame sharding runs in gspmd mode")
     _, runtime = _setup(args)
     examples = load_examples(args.examples)
     print(f"{len(examples)} examples over {len(jax.devices())} devices")

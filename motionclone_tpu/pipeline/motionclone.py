@@ -82,6 +82,9 @@ def make_controlnet_apply(model):
                 scale = jnp.concatenate([scale, scale], axis=0)
         return model.apply(cn_params, latents, t, text_emb, cond, mask, scale)
 
+    # recorded so make_sampling_fns can reject Pallas-backed controlnets
+    # inside sharded graphs (GSPMD cannot partition custom calls)
+    apply.attention_impl = model.attention_impl
     return apply
 
 
@@ -203,10 +206,24 @@ def make_sampling_fns(
         # logits to (chunk x kv) per head — at 512^2 the plain einsum path
         # would materialize multi-GB (BF/N, heads, 4096, 4096) probability
         # tensors per chip.  Explicit "xla"/"chunked" are honored.
+        if attention_impl in ("flash", "fused"):
+            # an explicitly requested Pallas backend cannot run sharded —
+            # say so instead of silently measuring a different backend
+            print(
+                f"frame sharding (gspmd): attention impl {attention_impl!r} "
+                f"is Pallas-backed and cannot be partitioned; using 'chunked'"
+            )
         if plain_impl not in ("xla", "chunked"):
             plain_impl = "chunked"
         if guided_attention_impl not in ("xla", "chunked"):
             guided_attention_impl = "chunked"
+        cn_impl = getattr(controlnet_apply, "attention_impl", None)
+        if cn_impl is not None and cn_impl not in ("xla", "chunked"):
+            raise ValueError(
+                f"frame_sharding requires a Pallas-free controlnet: build "
+                f"SparseControlNetModel with attention_impl='chunked' or "
+                f"'xla' (got {cn_impl!r})"
+            )
     cut = guidance_cut_index(infer_cfg.motion_guidance_blocks)
     guided_unet = UNet3DConditionModel(
         cfg=unet_cfg,

@@ -218,6 +218,14 @@ class MotionCloneRuntime:
 
             cache_k = compute_cache_key()
             cached = load_params(weights_cache, cache_k)
+            required = {"unet", "vae", "text_encoder"}
+            if infer_cfg.controlnet_path:
+                required.add("controlnet")
+            if cached is not None and not required.issubset(cached):
+                # structurally incomplete entry (e.g. written by an older
+                # runner with fewer components): treat as a miss and
+                # reconvert, never crash on a missing key
+                cached = None
 
         if cached is not None:
             unet_params = cached["unet"]
@@ -299,8 +307,13 @@ class MotionCloneRuntime:
                 )
             # the controlnet runs inside the same jitted steps as the UNet:
             # under frame sharding its Pallas attention kernels must be
-            # forced off too (GSPMD cannot partition custom calls)
-            cn_impl = "chunked" if self.frame_sharding is not None else attention_impl
+            # forced off too (GSPMD cannot partition custom calls); an
+            # explicit Pallas-free --attention-impl is honored as-is
+            cn_impl = attention_impl
+            if self.frame_sharding is not None and cn_impl not in (
+                "xla", "chunked"
+            ):
+                cn_impl = "chunked"
             cn_model = SparseControlNetModel(
                 cfg=self.cn_cfg, attention_impl=cn_impl, dtype=dtype
             )

@@ -338,6 +338,12 @@ def test_frame_shard_map_matches_unsharded():
                 np.asarray(rep_sm[k][0]), np.asarray(rep_ref[k][0]),
                 atol=2e-5, rtol=1e-4,
             )
+            # argmax indices drive the guided loss gather: a PE-offset or
+            # gather-order bug would permute them while barely moving the
+            # max values
+            np.testing.assert_array_equal(
+                np.asarray(rep_sm[k][1]), np.asarray(rep_ref[k][1])
+            )
         out = fns.sample(p, lat_sh, uncond, cond, rep, None, None)
         out.block_until_ready()
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)

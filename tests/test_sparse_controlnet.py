@@ -309,9 +309,20 @@ def test_i2v_frame_sharded_matches_unsharded():
 
     mesh = make_mesh_video(frames=F)
     fsh = frame_sharding(mesh)
+    # a Pallas-backed controlnet is rejected under GSPMD sharding...
+    import pytest
+
+    with pytest.raises(ValueError, match="Pallas-free controlnet"):
+        make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+            controlnet_apply=make_controlnet_apply(cn_model),
+            frame_sharding=fsh,
+        )
+    # ...so the sharded graph uses a chunked-impl rebuild (same params)
+    cn_sharded = SparseControlNetModel(cfg=cn_cfg, attention_impl="chunked")
     fns = make_sampling_fns(
         unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
-        controlnet_apply=make_controlnet_apply(cn_model),
+        controlnet_apply=make_controlnet_apply(cn_sharded),
         frame_sharding=fsh,
     )
     with mesh:
