@@ -174,7 +174,37 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
         help="also split each example's CFG pair over a second mesh axis "
         "(even device count; best when chips outnumber examples)",
     )
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host sweep: join the JAX distributed runtime (cluster "
+        "auto-detection on TPU pods), stride-partition the examples across "
+        "processes, and sweep this host's local chips — share-nothing, no "
+        "cross-host collectives",
+    )
+    parser.add_argument(
+        "--coordinator",
+        type=str,
+        default="",
+        metavar="HOST:PORT",
+        help="distributed coordinator address (implies --distributed; "
+        "omit on TPU pods where auto-detection fills it in)",
+    )
+    parser.add_argument(
+        "--num-processes", type=int, default=0,
+        help="distributed process count (with --coordinator)",
+    )
+    parser.add_argument(
+        "--process-id", type=int, default=-1,
+        help="this process's distributed rank (with --coordinator)",
+    )
     args = parser.parse_args(argv)
+    from motionclone_tpu.parallel.distributed import (
+        maybe_initialize_from_args,
+        partition_examples,
+    )
+
+    multi_process = maybe_initialize_from_args(args)
     # sweeps own their mesh: the runtime is built unsharded and run_sweep
     # composes a (data, frames) mesh itself (GSPMD mode; shardmap does not
     # batch examples)
@@ -186,7 +216,17 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
         print("sweep frame sharding runs in gspmd mode")
     _, runtime = _setup(args)
     examples = load_examples(args.examples)
-    print(f"{len(examples)} examples over {len(jax.devices())} devices")
+    if multi_process:
+        examples = partition_examples(examples)
+        print(
+            f"process {jax.process_index()}/{jax.process_count()}: "
+            f"{len(examples)} examples over {len(jax.local_devices())} "
+            f"local devices ({len(jax.devices())} global)"
+        )
+        if not examples:
+            return
+    else:
+        print(f"{len(examples)} examples over {len(jax.devices())} devices")
     paths = run_sweep(
         runtime,
         examples,

@@ -88,7 +88,10 @@ def run_sweep(
     os.makedirs(motion_rep_dir, exist_ok=True)
     os.makedirs(output_dir, exist_ok=True)
 
-    devices = jax.devices()
+    # local devices: in a multi-host run each process sweeps only its own
+    # chips (share-nothing example parallelism — parallel/distributed.py);
+    # single-process runs see the identical device list either way
+    devices = jax.local_devices()
     n_dev = num_devices or len(devices)
     if frame_shard == 1:
         # a 1-wide frames axis adds no parallelism but would force the
@@ -162,7 +165,7 @@ def run_sweep(
         )
         n_dev = n_dev // frame_shard  # examples per batch = data-axis size
     else:
-        mesh = make_mesh(n_dev)
+        mesh = make_mesh(n_dev, devices=devices)
         fns = runtime.pipeline.fns
     params = shard_params(runtime.pipeline.params, mesh)
 
