@@ -65,6 +65,16 @@ def main():
     H = W = infer_cfg.height // 8
 
     log(f"devices: {jax.devices()}")
+    # the axon tunnel relay and the dispatch loop are host processes: a
+    # loaded machine (e.g. a concurrent test suite) inflates the measured
+    # time >10x — flag it rather than silently reporting a garbage number
+    load = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
+    if load > 0.5 * ncpu:
+        log(
+            f"WARNING: host load {load:.1f} on {ncpu} CPUs — timings will "
+            f"not be representative; run bench.py on an idle machine"
+        )
     model = UNet3DConditionModel(
         cfg=unet_cfg, guidance_blocks=GUIDANCE_BLOCKS, dtype=dtype
     )
