@@ -39,6 +39,21 @@ def build_parser(default_config: str, default_examples: str) -> argparse.Argumen
     parser.add_argument("--config-root", type=str, default=".")
     parser.add_argument("--float32", action="store_true")
     parser.add_argument(
+        "--visible_gpu",
+        type=str,
+        default=None,
+        help="accepted for reference CLI compatibility "
+        "(reference t2v_video_sample.py:116 pins CUDA_VISIBLE_DEVICES); "
+        "ignored on TPU — device selection is JAX_PLATFORMS / mesh flags",
+    )
+    parser.add_argument(
+        "--without-xformers",
+        action="store_true",
+        help="reference-compatible alias for --attention-impl xla "
+        "(reference t2v_video_sample.py:122 disables the memory-efficient "
+        "CUDA kernels; here it disables the Pallas kernels)",
+    )
+    parser.add_argument(
         "--attention-impl",
         type=str,
         default="auto",
@@ -86,6 +101,13 @@ def build_parser(default_config: str, default_examples: str) -> argparse.Argumen
 
 
 def _setup(args, cfg=None):
+    if getattr(args, "visible_gpu", None):
+        print(
+            "--visible_gpu is a no-op on TPU (reference CUDA pinning); "
+            "use JAX device flags instead"
+        )
+    if getattr(args, "without_xformers", False):
+        args.attention_impl = "xla"
     if cfg is None:
         cfg = load_inference_config(
             args.inference_config, width=args.W, height=args.H,

@@ -96,3 +96,29 @@ def test_yaml_size_keys_override_cli_flags(tmp_path):
     assert cfg.width == 256      # YAML wins
     assert cfg.height == 320     # flag fills the absent key
     assert cfg.video_length == 8
+
+
+def test_cli_parser_accepts_reference_flags():
+    """The reference driver's full flag surface must parse
+    (reference t2v_video_sample.py:107-124): a user switching over with an
+    existing command line must not hit argparse errors."""
+    from motionclone_tpu.cli import build_parser
+
+    parser = build_parser("configs/t2v_camera.yaml", "configs/t2v_camera.jsonl")
+    args = parser.parse_args(
+        [
+            "--pretrained-model-path", "models/StableDiffusion",
+            "--inference_config", "configs/t2v_camera.yaml",
+            "--examples", "configs/t2v_camera.jsonl",
+            "--motion-representation-save-dir", "motion_representation/",
+            "--generated-videos-save-dir", "generated_videos",
+            "--visible_gpu", "0",
+            "--default-seed", "2025",
+            "--L", "16", "--W", "512", "--H", "512",
+            "--without-xformers",
+        ]
+    )
+    assert args.visible_gpu == "0"
+    assert args.without_xformers is True
+    # --without-xformers maps to the plain-XLA attention backend in _setup
+    assert args.attention_impl == "auto"
