@@ -183,6 +183,47 @@ def i2v_main(argv: Optional[Sequence[str]] = None) -> None:
     run_serial(args, cfg=cfg, examples=examples)
 
 
+def serve_main(argv: Optional[Sequence[str]] = None) -> None:
+    """Warm-runtime HTTP job server (new TPU-native surface; the reference
+    pays model load + startup per process — see serve.py docstring)."""
+    from motionclone_tpu.serve import MotionCloneServer
+
+    parser = build_parser("configs/t2v_camera.yaml", "configs/t2v_camera.jsonl")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument(
+        "--max-queue", type=int, default=64,
+        help="maximum queued jobs before POST /generate returns 503",
+    )
+    args = parser.parse_args(argv)
+    from motionclone_tpu.config import Example
+
+    _, runtime = _setup(args)
+
+    def run_job(example_dict):
+        return runtime.run_example(
+            Example.from_json(example_dict),
+            motion_rep_dir=args.motion_representation_save_dir,
+            output_dir=args.generated_videos_save_dir,
+            default_seed=args.default_seed,
+            config_root=args.config_root,
+            resume=args.resume,
+        )
+
+    server = MotionCloneServer(
+        run_job, host=args.host, port=args.port, max_queue=args.max_queue
+    )
+    print(
+        f"motionclone-serve listening on http://{args.host}:{server.port} "
+        "(POST /generate, GET /jobs /health /metrics)",
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
 def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
     import jax
 

@@ -1,0 +1,311 @@
+"""Warm-runtime HTTP serving for MotionClone generation jobs.
+
+Additive over the reference, which has no serving story (SURVEY §5): every
+reference invocation pays model load + full startup per process
+(reference t2v_video_sample.py:14-48). Here one ``MotionCloneRuntime``
+(converted weights + jitted/compiled pipeline) stays resident in a server
+process, and generation requests are queued onto the single TPU stream —
+the chip executes strictly serially, so a worker thread drains a FIFO queue
+and the HTTP layer stays non-blocking.
+
+API (JSON over HTTP, stdlib-only — no web-framework dependency):
+
+  POST /generate  body = one JSONL-example object
+                  (``video_path``, ``new_prompt``, optional ``seed``,
+                  ``condition_image_paths``, ``image_index``,
+                  ``controlnet_scale`` — the reference's example schema,
+                  configs/t2v_camera.jsonl)            -> 202 {job_id, ...}
+  GET  /jobs/<id>                                      -> job record
+  GET  /jobs                                           -> all job records
+  GET  /health                                         -> liveness + queue depth
+  GET  /metrics                                        -> Prometheus text format
+
+Run via ``serve_video_sample.py`` / ``motionclone-serve`` (cli.serve_main).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, Optional
+
+from motionclone_tpu.config import Example
+
+# job lifecycle: queued -> running -> done | failed
+_TERMINAL = ("done", "failed")
+
+
+@dataclass
+class Job:
+    job_id: str
+    example: Dict[str, Any]
+    status: str = "queued"
+    submitted_at: float = field(default_factory=time.time)
+    started_at: Optional[float] = None
+    finished_at: Optional[float] = None
+    output_path: Optional[str] = None
+    error: Optional[str] = None
+
+    def to_json(self) -> Dict[str, Any]:
+        d = {
+            "job_id": self.job_id,
+            "example": self.example,
+            "status": self.status,
+            "submitted_at": self.submitted_at,
+            "started_at": self.started_at,
+            "finished_at": self.finished_at,
+            "output_path": self.output_path,
+            "error": self.error,
+        }
+        if self.started_at and self.finished_at:
+            d["seconds"] = self.finished_at - self.started_at
+        return d
+
+
+class JobStore:
+    """Thread-safe job registry + FIFO work queue with a bounded depth."""
+
+    def __init__(self, max_queue: int = 64):
+        self._lock = threading.Lock()
+        self._jobs: Dict[str, Job] = {}
+        self._order: list = []
+        self.work: "queue.Queue[Optional[str]]" = queue.Queue(maxsize=max_queue)
+
+    def submit(self, example: Dict[str, Any]) -> Job:
+        job = Job(job_id=uuid.uuid4().hex[:12], example=example)
+        # reserve the queue slot first so a full queue never leaves a
+        # phantom 'queued' record behind
+        self.work.put_nowait(job.job_id)
+        with self._lock:
+            self._jobs[job.job_id] = job
+            self._order.append(job.job_id)
+        return job
+
+    def get(self, job_id: str) -> Optional[Job]:
+        with self._lock:
+            return self._jobs.get(job_id)
+
+    def all(self) -> list:
+        with self._lock:
+            return [self._jobs[j].to_json() for j in self._order]
+
+    def queue_depth(self) -> int:
+        with self._lock:
+            return sum(1 for j in self._jobs.values() if j.status == "queued")
+
+    def counters(self) -> Dict[str, Any]:
+        with self._lock:
+            jobs = list(self._jobs.values())
+        done = [j for j in jobs if j.status == "done"]
+        latencies = [
+            j.finished_at - j.started_at
+            for j in done
+            if j.started_at and j.finished_at
+        ]
+        return {
+            "jobs_total": len(jobs),
+            "jobs_done": len(done),
+            "jobs_failed": sum(1 for j in jobs if j.status == "failed"),
+            "jobs_queued": sum(1 for j in jobs if j.status == "queued"),
+            "jobs_running": sum(1 for j in jobs if j.status == "running"),
+            "generate_seconds_sum": sum(latencies),
+            "generate_seconds_count": len(latencies),
+        }
+
+
+def _worker_loop(store: JobStore, run_job: Callable[[Dict[str, Any]], str]) -> None:
+    """Drain the FIFO onto the (serial) TPU stream; never dies on job errors."""
+    while True:
+        job_id = store.work.get()
+        if job_id is None:  # shutdown sentinel
+            store.work.task_done()
+            return
+        job = store.get(job_id)
+        job.status = "running"
+        job.started_at = time.time()
+        try:
+            job.output_path = run_job(job.example)
+            job.status = "done"
+        except Exception as e:  # job-scoped: the server must survive bad jobs
+            job.status = "failed"
+            job.error = f"{type(e).__name__}: {e}"
+        finally:
+            job.finished_at = time.time()
+            store.work.task_done()
+
+
+def _validate_example(payload: Any) -> Dict[str, Any]:
+    if not isinstance(payload, dict):
+        raise ValueError("request body must be a JSON object")
+    unknown = set(payload) - {
+        "video_path",
+        "new_prompt",
+        "seed",
+        "condition_image_paths",
+        "image_index",
+        "controlnet_scale",
+    }
+    if unknown:
+        raise ValueError(f"unknown example fields: {sorted(unknown)}")
+    for key in ("video_path", "new_prompt"):
+        if not isinstance(payload.get(key), str) or not payload[key]:
+            raise ValueError(f"missing/invalid required field: {key}")
+    # round-trips through the reference JSONL schema (config.Example)
+    Example.from_json(payload)
+    return payload
+
+
+class MotionCloneServer:
+    """HTTP front + single worker thread around a ``run_job`` callable.
+
+    ``run_job(example_dict) -> output_path`` is typically a closure over
+    ``MotionCloneRuntime.run_example`` (see ``cli.serve_main``); tests inject
+    a fake to exercise the serving machinery without checkpoints.
+    """
+
+    def __init__(
+        self,
+        run_job: Callable[[Dict[str, Any]], str],
+        *,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_queue: int = 64,
+    ):
+        self.store = JobStore(max_queue=max_queue)
+        self.started_at = time.time()
+        self._worker = threading.Thread(
+            target=_worker_loop, args=(self.store, run_job), daemon=True
+        )
+        handler = _make_handler(self)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+        self._http_thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> None:
+        """Start worker + HTTP threads and return (non-blocking)."""
+        self._worker.start()
+        self._http_thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._http_thread.start()
+
+    def serve_forever(self) -> None:
+        self._worker.start()
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._worker.is_alive():
+            self.store.work.put(None)
+            self._worker.join(timeout=10)
+
+    # ---- endpoint bodies (handler delegates here) ----
+
+    def handle_generate(self, payload: Any) -> tuple:
+        try:
+            example = _validate_example(payload)
+        except ValueError as e:
+            return 400, {"error": str(e)}
+        try:
+            job = self.store.submit(example)
+        except queue.Full:
+            return 503, {"error": "queue full", "queue_depth": self.store.queue_depth()}
+        return 202, {
+            "job_id": job.job_id,
+            "status": job.status,
+            "queue_position": self.store.queue_depth() - 1,
+        }
+
+    def handle_health(self) -> tuple:
+        return 200, {
+            "status": "ok",
+            "uptime_seconds": time.time() - self.started_at,
+            "queue_depth": self.store.queue_depth(),
+            "worker_alive": self._worker.is_alive(),
+        }
+
+    def handle_metrics(self) -> str:
+        c = self.store.counters()
+        lines = [
+            "# HELP motionclone_jobs_total Jobs submitted since start.",
+            "# TYPE motionclone_jobs_total counter",
+            f"motionclone_jobs_total {c['jobs_total']}",
+            "# TYPE motionclone_jobs_done counter",
+            f"motionclone_jobs_done {c['jobs_done']}",
+            "# TYPE motionclone_jobs_failed counter",
+            f"motionclone_jobs_failed {c['jobs_failed']}",
+            "# TYPE motionclone_jobs_queued gauge",
+            f"motionclone_jobs_queued {c['jobs_queued']}",
+            "# TYPE motionclone_jobs_running gauge",
+            f"motionclone_jobs_running {c['jobs_running']}",
+            "# HELP motionclone_generate_seconds End-to-end seconds per finished job.",
+            "# TYPE motionclone_generate_seconds summary",
+            f"motionclone_generate_seconds_sum {c['generate_seconds_sum']:.6f}",
+            f"motionclone_generate_seconds_count {c['generate_seconds_count']}",
+            "# TYPE motionclone_uptime_seconds gauge",
+            f"motionclone_uptime_seconds {time.time() - self.started_at:.3f}",
+        ]
+        return "\n".join(lines) + "\n"
+
+
+def _make_handler(server: MotionCloneServer):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; production logging goes through the job records
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _send_json(self, code: int, obj: Any) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_text(self, code: int, text: str, ctype: str) -> None:
+            body = text.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/health":
+                code, obj = server.handle_health()
+                return self._send_json(code, obj)
+            if self.path == "/metrics":
+                return self._send_text(
+                    200, server.handle_metrics(), "text/plain; version=0.0.4"
+                )
+            if self.path == "/jobs":
+                return self._send_json(200, {"jobs": server.store.all()})
+            if self.path.startswith("/jobs/"):
+                job = server.store.get(self.path[len("/jobs/"):])
+                if job is None:
+                    return self._send_json(404, {"error": "unknown job"})
+                return self._send_json(200, job.to_json())
+            return self._send_json(404, {"error": f"no such route: {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/generate":
+                return self._send_json(404, {"error": f"no such route: {self.path}"})
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"null")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._send_json(400, {"error": f"bad JSON body: {e}"})
+            code, obj = server.handle_generate(payload)
+            return self._send_json(code, obj)
+
+    return Handler

@@ -1,0 +1,154 @@
+"""Serving layer: HTTP job server around a warm runtime (serve.py).
+
+Uses an injected fake run_job (the real one is a MotionCloneRuntime closure,
+cli.serve_main) — the serving machinery (queueing, serial execution, failure
+isolation, validation, metrics) is what's under test; no checkpoints needed.
+"""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+from motionclone_tpu.serve import MotionCloneServer, _validate_example
+
+
+def _req(port, path, payload=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    if payload is None:
+        req = urllib.request.Request(url)
+    else:
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(), method="POST"
+        )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def _wait_status(port, job_id, want, timeout=10.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        _, body = _req(port, f"/jobs/{job_id}")
+        rec = json.loads(body)
+        if rec["status"] == want:
+            return rec
+        time.sleep(0.02)
+    raise AssertionError(f"job {job_id} never reached {want}: {rec}")
+
+
+@pytest.fixture()
+def server(tmp_path):
+    calls = []
+
+    def run_job(example):
+        calls.append(example["new_prompt"])
+        if example["new_prompt"] == "boom":
+            raise RuntimeError("synthetic job failure")
+        out = tmp_path / f"{len(calls)}.mp4"
+        out.write_bytes(b"")
+        return str(out)
+
+    srv = MotionCloneServer(run_job, port=0, max_queue=4)
+    srv.calls = calls
+    srv.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_generate_roundtrip(server):
+    code, body = _req(
+        server.port, "/generate",
+        {"video_path": "v.mp4", "new_prompt": "a cat", "seed": 3},
+    )
+    assert code == 202
+    job_id = json.loads(body)["job_id"]
+    rec = _wait_status(server.port, job_id, "done")
+    assert rec["output_path"].endswith(".mp4")
+    assert rec["seconds"] >= 0
+    assert server.calls == ["a cat"]
+
+
+def test_jobs_run_in_submission_order_and_failures_isolate(server):
+    ids = []
+    for prompt in ("one", "boom", "two"):
+        code, body = _req(
+            server.port, "/generate", {"video_path": "v.mp4", "new_prompt": prompt}
+        )
+        assert code == 202
+        ids.append(json.loads(body)["job_id"])
+    done0 = _wait_status(server.port, ids[0], "done")
+    failed = _wait_status(server.port, ids[1], "failed")
+    done2 = _wait_status(server.port, ids[2], "done")
+    assert "synthetic job failure" in failed["error"]
+    assert done0["finished_at"] <= done2["started_at"]  # FIFO, serial
+    assert server.calls == ["one", "boom", "two"]
+    # /jobs lists all three in submission order
+    _, body = _req(server.port, "/jobs")
+    assert [j["job_id"] for j in json.loads(body)["jobs"]] == ids
+
+
+def test_validation_errors():
+    # no server needed for the pure validator
+    with pytest.raises(ValueError, match="required field"):
+        _validate_example({"new_prompt": "x"})
+    with pytest.raises(ValueError, match="unknown example fields"):
+        _validate_example({"video_path": "v", "new_prompt": "x", "nope": 1})
+    with pytest.raises(ValueError, match="JSON object"):
+        _validate_example([1, 2])
+
+
+def test_http_error_paths(server):
+    code, body = _req(server.port, "/generate", {"new_prompt": "x"})
+    assert code == 400 and "video_path" in body
+    code, _ = _req(server.port, "/jobs/deadbeef")
+    assert code == 404
+    code, _ = _req(server.port, "/nope")
+    assert code == 404
+
+
+def test_health_and_metrics(server):
+    code, body = _req(server.port, "/health")
+    assert code == 200
+    health = json.loads(body)
+    assert health["status"] == "ok" and health["worker_alive"]
+    _req(server.port, "/generate", {"video_path": "v.mp4", "new_prompt": "m"})
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        _, text = _req(server.port, "/metrics")
+        if "motionclone_jobs_done 1" in text:
+            break
+        time.sleep(0.02)
+    assert "motionclone_jobs_total 1" in text
+    assert "motionclone_generate_seconds_count 1" in text
+
+
+def test_queue_backpressure(tmp_path):
+    release = threading.Event()
+
+    def run_job(example):
+        release.wait(timeout=30)
+        return str(tmp_path / "out.mp4")
+
+    srv = MotionCloneServer(run_job, port=0, max_queue=2)
+    srv.start()
+    try:
+        codes = [
+            _req(srv.port, "/generate",
+                 {"video_path": "v.mp4", "new_prompt": f"p{i}"})[0]
+            for i in range(4)
+        ]
+        # 1 running + 2 queued fit; at least one later submit is rejected
+        assert codes[0] == 202 and 503 in codes
+        # the rejected submit must not leave a phantom job record
+        _, body = _req(srv.port, "/jobs")
+        assert all(j["status"] != "failed" for j in json.loads(body)["jobs"])
+        assert len(json.loads(body)["jobs"]) == codes.count(202)
+    finally:
+        release.set()
+        srv.shutdown()
