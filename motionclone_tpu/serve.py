@@ -78,12 +78,18 @@ class JobStore:
 
     def submit(self, example: Dict[str, Any]) -> Job:
         job = Job(job_id=uuid.uuid4().hex[:12], example=example)
-        # reserve the queue slot first so a full queue never leaves a
-        # phantom 'queued' record behind
-        self.work.put_nowait(job.job_id)
+        # register before enqueueing — the worker may dequeue immediately and
+        # must find the record; a full queue unregisters (no phantom records)
         with self._lock:
             self._jobs[job.job_id] = job
             self._order.append(job.job_id)
+        try:
+            self.work.put_nowait(job.job_id)
+        except queue.Full:
+            with self._lock:
+                del self._jobs[job.job_id]
+                self._order.remove(job.job_id)
+            raise
         return job
 
     def get(self, job_id: str) -> Optional[Job]:
