@@ -195,10 +195,19 @@ def serve_main(argv: Optional[Sequence[str]] = None) -> None:
         "--max-queue", type=int, default=64,
         help="maximum queued jobs before POST /generate returns 503",
     )
+    parser.add_argument(
+        "--batch-max", type=int, default=0,
+        help="throughput batching: drain up to this many queued jobs per "
+        "pass and run them data-parallel over the local chips "
+        "(pipeline.sweep). 0 = local device count; 1 = strictly serial",
+    )
     args = parser.parse_args(argv)
+    import jax
+
     from motionclone_tpu.config import Example
 
     _, runtime = _setup(args)
+    batch_max = args.batch_max or len(jax.local_devices())
 
     def run_job(example_dict):
         return runtime.run_example(
@@ -210,8 +219,39 @@ def serve_main(argv: Optional[Sequence[str]] = None) -> None:
             resume=args.resume,
         )
 
+    run_jobs_batch = None
+    if batch_max > 1:
+        from motionclone_tpu.pipeline.sweep import run_sweep
+
+        def run_jobs_batch(example_dicts):
+            examples = [Example.from_json(d) for d in example_dicts]
+            # sweeps need uniform condition-image counts per batch
+            # (run_sweep docstring); group, sweep each group, restore order
+            groups = {}
+            for i, ex in enumerate(examples):
+                groups.setdefault(len(ex.condition_image_paths), []).append(i)
+            paths = [None] * len(examples)
+            for indices in groups.values():
+                group_paths = run_sweep(
+                    runtime,
+                    [examples[i] for i in indices],
+                    motion_rep_dir=args.motion_representation_save_dir,
+                    output_dir=args.generated_videos_save_dir,
+                    default_seed=args.default_seed,
+                    config_root=args.config_root,
+                    resume=args.resume,
+                )
+                for i, p in zip(indices, group_paths):
+                    paths[i] = p
+            return paths
+
     server = MotionCloneServer(
-        run_job, host=args.host, port=args.port, max_queue=args.max_queue
+        run_job,
+        run_jobs_batch=run_jobs_batch,
+        batch_max=batch_max,
+        host=args.host,
+        port=args.port,
+        max_queue=args.max_queue,
     )
     print(
         f"motionclone-serve listening on http://{args.host}:{server.port} "

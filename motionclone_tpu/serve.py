@@ -124,25 +124,64 @@ class JobStore:
         }
 
 
-def _worker_loop(store: JobStore, run_job: Callable[[Dict[str, Any]], str]) -> None:
-    """Drain the FIFO onto the (serial) TPU stream; never dies on job errors."""
+def _worker_loop(
+    store: JobStore,
+    run_job: Callable[[Dict[str, Any]], str],
+    run_jobs_batch: Optional[Callable[[list], list]] = None,
+    batch_max: int = 1,
+) -> None:
+    """Drain the FIFO onto the (serial) TPU stream; never dies on job errors.
+
+    With ``run_jobs_batch`` and ``batch_max > 1`` the worker opportunistically
+    drains up to ``batch_max`` queued jobs per pass and runs them together —
+    the throughput mode for multi-chip hosts, where the batch maps onto the
+    data-parallel sweep path (pipeline.sweep.run_sweep) so n chips generate
+    n queued videos concurrently.  A lone job still takes the single-job path.
+    """
     while True:
         job_id = store.work.get()
         if job_id is None:  # shutdown sentinel
             store.work.task_done()
             return
-        job = store.get(job_id)
-        job.status = "running"
-        job.started_at = time.time()
+        ids = [job_id]
+        if run_jobs_batch is not None:
+            while len(ids) < batch_max:
+                try:
+                    extra = store.work.get_nowait()
+                except queue.Empty:
+                    break
+                if extra is None:  # keep the shutdown sentinel effective
+                    store.work.put(extra)
+                    break
+                ids.append(extra)
+        jobs = [store.get(i) for i in ids]
+        for job in jobs:
+            job.status = "running"
+            job.started_at = time.time()
         try:
-            job.output_path = run_job(job.example)
-            job.status = "done"
+            if len(jobs) > 1:
+                paths = run_jobs_batch([j.example for j in jobs])
+                if len(paths) != len(jobs):
+                    raise RuntimeError(
+                        f"batch runner returned {len(paths)} paths for "
+                        f"{len(jobs)} jobs"
+                    )
+                for job, path in zip(jobs, paths):
+                    job.output_path = path
+                    job.status = "done"
+            else:
+                jobs[0].output_path = run_job(jobs[0].example)
+                jobs[0].status = "done"
         except Exception as e:  # job-scoped: the server must survive bad jobs
-            job.status = "failed"
-            job.error = f"{type(e).__name__}: {e}"
+            for job in jobs:
+                if job.status == "running":
+                    job.status = "failed"
+                    job.error = f"{type(e).__name__}: {e}"
         finally:
-            job.finished_at = time.time()
-            store.work.task_done()
+            now = time.time()
+            for job in jobs:
+                job.finished_at = now
+                store.work.task_done()
 
 
 def _validate_example(payload: Any) -> Dict[str, Any]:
@@ -178,6 +217,8 @@ class MotionCloneServer:
         self,
         run_job: Callable[[Dict[str, Any]], str],
         *,
+        run_jobs_batch: Optional[Callable[[list], list]] = None,
+        batch_max: int = 1,
         host: str = "127.0.0.1",
         port: int = 0,
         max_queue: int = 64,
@@ -185,7 +226,9 @@ class MotionCloneServer:
         self.store = JobStore(max_queue=max_queue)
         self.started_at = time.time()
         self._worker = threading.Thread(
-            target=_worker_loop, args=(self.store, run_job), daemon=True
+            target=_worker_loop,
+            args=(self.store, run_job, run_jobs_batch, batch_max),
+            daemon=True,
         )
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)

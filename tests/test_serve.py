@@ -152,3 +152,72 @@ def test_queue_backpressure(tmp_path):
     finally:
         release.set()
         srv.shutdown()
+
+
+def test_batch_drain_runs_queued_jobs_together(tmp_path):
+    """Deterministic batch test: jobs queued before the worker starts must
+    drain as one batch through run_jobs_batch (the multi-chip sweep path)."""
+    from motionclone_tpu.serve import JobStore, _worker_loop
+
+    store = JobStore(max_queue=8)
+    jobs = [
+        store.submit({"video_path": "v.mp4", "new_prompt": f"p{i}"})
+        for i in range(3)
+    ]
+    batches = []
+
+    def run_jobs_batch(examples):
+        batches.append([e["new_prompt"] for e in examples])
+        return [str(tmp_path / f"{e['new_prompt']}.mp4") for e in examples]
+
+    def run_job(example):
+        raise AssertionError("single-job path must not run for a full queue")
+
+    store.work.put(None)  # shutdown after the queue drains
+    t = threading.Thread(
+        target=_worker_loop, args=(store, run_job, run_jobs_batch, 4)
+    )
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert batches == [["p0", "p1", "p2"]]
+    for i, job in enumerate(jobs):
+        assert job.status == "done"
+        assert job.output_path.endswith(f"p{i}.mp4")
+
+
+def test_batch_failure_marks_all_failed_and_lone_job_uses_single_path(tmp_path):
+    from motionclone_tpu.serve import JobStore, _worker_loop
+
+    store = JobStore(max_queue=8)
+    pair = [
+        store.submit({"video_path": "v.mp4", "new_prompt": f"p{i}"})
+        for i in range(2)
+    ]
+
+    def run_jobs_batch(examples):
+        raise RuntimeError("sweep exploded")
+
+    def run_job(example):
+        return str(tmp_path / "single.mp4")
+
+    store.work.put(None)
+    t = threading.Thread(
+        target=_worker_loop, args=(store, run_job, run_jobs_batch, 4)
+    )
+    t.start()
+    t.join(timeout=10)
+    assert all(j.status == "failed" for j in pair)
+    assert all("sweep exploded" in j.error for j in pair)
+
+    # a lone queued job takes the single-job path even with a batch runner
+    store2 = JobStore(max_queue=8)
+    lone = store2.submit({"video_path": "v.mp4", "new_prompt": "solo"})
+    store2.work.put(None)
+    t2 = threading.Thread(
+        target=_worker_loop,
+        args=(store2, run_job, lambda ex: 1 / 0, 4),
+    )
+    t2.start()
+    t2.join(timeout=10)
+    assert lone.status == "done" and lone.output_path.endswith("single.mp4")
