@@ -19,7 +19,9 @@ from motionclone_tpu.config import load_examples, load_inference_config
 from motionclone_tpu.pipeline.runner import MotionCloneRuntime
 
 
-def build_parser(default_config: str, default_examples: str) -> argparse.ArgumentParser:
+def build_parser(
+    default_config: str, default_examples: str, default_seed: int = 2025
+) -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--pretrained-model-path", type=str, default="models/StableDiffusion"
@@ -32,7 +34,7 @@ def build_parser(default_config: str, default_examples: str) -> argparse.Argumen
     parser.add_argument(
         "--generated-videos-save-dir", type=str, default="generated_videos"
     )
-    parser.add_argument("--default-seed", type=int, default=2025)
+    parser.add_argument("--default-seed", type=int, default=default_seed)
     parser.add_argument("--L", type=int, default=16)
     parser.add_argument("--W", type=int, default=512)
     parser.add_argument("--H", type=int, default=512)
@@ -155,9 +157,11 @@ def t2v_main(argv: Optional[Sequence[str]] = None) -> None:
 
 
 def i2v_main(argv: Optional[Sequence[str]] = None) -> None:
-    args = build_parser("configs/i2v_rgb.yaml", "configs/i2v_rgb.jsonl").parse_args(
-        argv
-    )
+    # defaults match reference i2v_video_sample.py:143-148: the sketch
+    # workload with seed 76739 (the seed of the committed sample outputs)
+    args = build_parser(
+        "configs/i2v_sketch.yaml", "configs/i2v_sketch.jsonl", default_seed=76739
+    ).parse_args(argv)
     cfg = load_inference_config(
         args.inference_config, width=args.W, height=args.H, video_length=args.L
     )
@@ -208,6 +212,19 @@ def serve_main(argv: Optional[Sequence[str]] = None) -> None:
 
     _, runtime = _setup(args)
     batch_max = args.batch_max or len(jax.local_devices())
+    if args.frame_shard:
+        # frame sharding is the single-video latency mode: the runtime's
+        # sampling fns are built over a (cfg, frames) mesh, which conflicts
+        # with run_sweep's own data mesh — keep serving strictly serial so
+        # batched jobs never mix the two shardings (sweep_main instead
+        # zeroes frame_shard before _setup, cli.py:~315)
+        if batch_max > 1:
+            print(
+                "--frame-shard set: forcing --batch-max 1 (frame-sharded "
+                "runtimes serve jobs serially; use an unsharded runtime "
+                "for throughput batching)"
+            )
+        batch_max = 1
 
     def run_job(example_dict):
         return runtime.run_example(

@@ -134,6 +134,12 @@ class NoiseScheduleConfig:
     clip_sample_range: float = 1.0
     set_alpha_to_one: bool = True
     prediction_type: str = "epsilon"
+    # dynamic thresholding (Imagen, arXiv:2205.11487) — the reference's step
+    # supports it via diffusers' DDIMScheduler config
+    # (motionclone_functions.py:355-357); no shipped config enables it
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "NoiseScheduleConfig":

@@ -28,6 +28,9 @@ class DDIMParams(NamedTuple):
     prediction_type: str
     clip_sample: bool
     clip_sample_range: float
+    thresholding: bool
+    dynamic_thresholding_ratio: float
+    sample_max_value: float
 
 
 def make_betas(cfg: NoiseScheduleConfig) -> np.ndarray:
@@ -65,6 +68,9 @@ def make_ddim_params(cfg: NoiseScheduleConfig) -> DDIMParams:
         prediction_type=cfg.prediction_type,
         clip_sample=cfg.clip_sample,
         clip_sample_range=cfg.clip_sample_range,
+        thresholding=cfg.thresholding,
+        dynamic_thresholding_ratio=cfg.dynamic_thresholding_ratio,
+        sample_max_value=cfg.sample_max_value,
     )
 
 
@@ -149,6 +155,29 @@ def add_noise(
     return x.astype(x0.dtype)
 
 
+def threshold_sample(
+    sample: jnp.ndarray, ratio: float, max_value: float
+) -> jnp.ndarray:
+    """Dynamic thresholding of predicted x0 (Imagen, arXiv:2205.11487 §2.4).
+
+    Matches diffusers' ``DDIMScheduler._threshold_sample`` as invoked by the
+    reference's step (motionclone_functions.py:355-357): per *batch sample*,
+    s = quantile(|x0|, ratio) over every non-batch element (linear
+    interpolation, torch.quantile's default), clamped to
+    ``[1, sample_max_value]``, then x0 <- clip(x0, -s, s) / s.  Computed in
+    float32 like the rest of the step math.  (The reference's diffusers 0.16
+    copy unpacks a 4-D NCHW shape and would crash on 5-D video latents —
+    since no shipped config enables thresholding that path is dead there; we
+    generalize to any rank with the same per-sample semantics.)
+    """
+    dtype = sample.dtype
+    x = sample.astype(jnp.float32).reshape(sample.shape[0], -1)
+    s = jnp.quantile(jnp.abs(x), ratio, axis=1, method="linear")
+    s = jnp.clip(s, 1.0, max_value)[:, None]
+    x = jnp.clip(x, -s, s) / s
+    return x.reshape(sample.shape).astype(dtype)
+
+
 def _alpha_at(params: DDIMParams, t) -> jnp.ndarray:
     """alphas_cumprod[t] with t == -1 mapping to final_alpha_cumprod."""
     t = jnp.asarray(t)
@@ -206,7 +235,13 @@ def ddim_step(
     else:
         raise ValueError(f"unknown prediction_type: {params.prediction_type}")
 
-    if params.clip_sample:
+    # reference order (motionclone_functions.py:355-360): thresholding takes
+    # precedence over clip_sample
+    if params.thresholding:
+        pred_x0 = threshold_sample(
+            pred_x0, params.dynamic_thresholding_ratio, params.sample_max_value
+        )
+    elif params.clip_sample:
         pred_x0 = jnp.clip(pred_x0, -params.clip_sample_range, params.clip_sample_range)
 
     variance = ddim_variance(params, timestep, prev_timestep)

@@ -68,13 +68,27 @@ class Job:
 
 
 class JobStore:
-    """Thread-safe job registry + FIFO work queue with a bounded depth."""
+    """Thread-safe job registry + FIFO work queue with a bounded depth.
 
-    def __init__(self, max_queue: int = 64):
+    Terminal (done/failed) job records are retained in a bounded ring — a
+    long-running server does not grow without bound and ``/jobs`` stays
+    small — while the Prometheus counters are monotonic and survive
+    eviction.
+    """
+
+    def __init__(self, max_queue: int = 64, max_terminal: int = 1024):
         self._lock = threading.Lock()
         self._jobs: Dict[str, Job] = {}
         self._order: list = []
+        self._max_terminal = max_terminal
+        # monotonic counters (eviction-safe)
+        self._submitted_total = 0
+        self._done_total = 0
+        self._failed_total = 0
+        self._seconds_sum = 0.0
+        self._seconds_count = 0
         self.work: "queue.Queue[Optional[str]]" = queue.Queue(maxsize=max_queue)
+        self.shutting_down = threading.Event()
 
     def submit(self, example: Dict[str, Any]) -> Job:
         job = Job(job_id=uuid.uuid4().hex[:12], example=example)
@@ -83,18 +97,52 @@ class JobStore:
         with self._lock:
             self._jobs[job.job_id] = job
             self._order.append(job.job_id)
+            self._submitted_total += 1
         try:
             self.work.put_nowait(job.job_id)
         except queue.Full:
             with self._lock:
                 del self._jobs[job.job_id]
                 self._order.remove(job.job_id)
+                self._submitted_total -= 1
             raise
         return job
+
+    def finish(self, job: Job, *, error: Optional[str] = None) -> None:
+        """Transition a running job to its terminal state atomically.
+
+        finished_at is assigned *before* the status flip and both happen
+        under the lock, so any observer that sees a terminal status sees a
+        complete record (to_json's ``seconds`` key included).
+        """
+        with self._lock:
+            job.finished_at = time.time()
+            if error is None:
+                job.status = "done"
+                self._done_total += 1
+            else:
+                job.status = "failed"
+                job.error = error
+                self._failed_total += 1
+            if job.started_at:
+                self._seconds_sum += job.finished_at - job.started_at
+                self._seconds_count += 1
+            self._evict_locked()
+
+    def _evict_locked(self) -> None:
+        terminal = [j for j in self._order if self._jobs[j].status in _TERMINAL]
+        for job_id in terminal[: max(0, len(terminal) - self._max_terminal)]:
+            del self._jobs[job_id]
+            self._order.remove(job_id)
 
     def get(self, job_id: str) -> Optional[Job]:
         with self._lock:
             return self._jobs.get(job_id)
+
+    def get_json(self, job_id: str) -> Optional[Dict[str, Any]]:
+        with self._lock:
+            job = self._jobs.get(job_id)
+            return None if job is None else job.to_json()
 
     def all(self) -> list:
         with self._lock:
@@ -107,21 +155,15 @@ class JobStore:
     def counters(self) -> Dict[str, Any]:
         with self._lock:
             jobs = list(self._jobs.values())
-        done = [j for j in jobs if j.status == "done"]
-        latencies = [
-            j.finished_at - j.started_at
-            for j in done
-            if j.started_at and j.finished_at
-        ]
-        return {
-            "jobs_total": len(jobs),
-            "jobs_done": len(done),
-            "jobs_failed": sum(1 for j in jobs if j.status == "failed"),
-            "jobs_queued": sum(1 for j in jobs if j.status == "queued"),
-            "jobs_running": sum(1 for j in jobs if j.status == "running"),
-            "generate_seconds_sum": sum(latencies),
-            "generate_seconds_count": len(latencies),
-        }
+            return {
+                "jobs_total": self._submitted_total,
+                "jobs_done": self._done_total,
+                "jobs_failed": self._failed_total,
+                "jobs_queued": sum(1 for j in jobs if j.status == "queued"),
+                "jobs_running": sum(1 for j in jobs if j.status == "running"),
+                "generate_seconds_sum": self._seconds_sum,
+                "generate_seconds_count": self._seconds_count,
+            }
 
 
 def _worker_loop(
@@ -139,6 +181,8 @@ def _worker_loop(
     n queued videos concurrently.  A lone job still takes the single-job path.
     """
     while True:
+        if store.shutting_down.is_set():
+            return
         job_id = store.work.get()
         if job_id is None:  # shutdown sentinel
             store.work.task_done()
@@ -155,9 +199,10 @@ def _worker_loop(
                     break
                 ids.append(extra)
         jobs = [store.get(i) for i in ids]
-        for job in jobs:
-            job.status = "running"
-            job.started_at = time.time()
+        with store._lock:
+            for job in jobs:
+                job.status = "running"
+                job.started_at = time.time()
         try:
             if len(jobs) > 1:
                 paths = run_jobs_batch([j.example for j in jobs])
@@ -168,19 +213,16 @@ def _worker_loop(
                     )
                 for job, path in zip(jobs, paths):
                     job.output_path = path
-                    job.status = "done"
+                    store.finish(job)
             else:
                 jobs[0].output_path = run_job(jobs[0].example)
-                jobs[0].status = "done"
+                store.finish(jobs[0])
         except Exception as e:  # job-scoped: the server must survive bad jobs
             for job in jobs:
                 if job.status == "running":
-                    job.status = "failed"
-                    job.error = f"{type(e).__name__}: {e}"
+                    store.finish(job, error=f"{type(e).__name__}: {e}")
         finally:
-            now = time.time()
-            for job in jobs:
-                job.finished_at = now
+            for _ in jobs:
                 store.work.task_done()
 
 
@@ -200,8 +242,28 @@ def _validate_example(payload: Any) -> Dict[str, Any]:
     for key in ("video_path", "new_prompt"):
         if not isinstance(payload.get(key), str) or not payload[key]:
             raise ValueError(f"missing/invalid required field: {key}")
-    # round-trips through the reference JSONL schema (config.Example)
-    Example.from_json(payload)
+    # explicit type checks: tuple() would silently split a bare string path
+    # into per-character entries, and tuple(int) raises TypeError
+    if "condition_image_paths" in payload:
+        v = payload["condition_image_paths"]
+        if not isinstance(v, list) or not all(isinstance(p, str) for p in v):
+            raise ValueError("condition_image_paths must be a list of strings")
+    if "image_index" in payload:
+        v = payload["image_index"]
+        if not isinstance(v, list) or not all(isinstance(i, int) for i in v):
+            raise ValueError("image_index must be a list of integers")
+    if "seed" in payload and not isinstance(payload["seed"], int):
+        raise ValueError("seed must be an integer")
+    if "controlnet_scale" in payload and not isinstance(
+        payload["controlnet_scale"], (int, float)
+    ):
+        raise ValueError("controlnet_scale must be a number")
+    # round-trips through the reference JSONL schema (config.Example);
+    # any residual malformation surfaces as a 400, not a dropped connection
+    try:
+        Example.from_json(payload)
+    except (ValueError, TypeError, KeyError) as e:
+        raise ValueError(f"malformed example: {type(e).__name__}: {e}")
     return payload
 
 
@@ -255,7 +317,13 @@ class MotionCloneServer:
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._worker.is_alive():
-            self.store.work.put(None)
+            # never block on a full queue: set the flag the worker checks
+            # between jobs, then best-effort insert the wake-up sentinel
+            self.store.shutting_down.set()
+            try:
+                self.store.work.put_nowait(None)
+            except queue.Full:
+                pass
             self._worker.join(timeout=10)
 
     # ---- endpoint bodies (handler delegates here) ----
@@ -340,10 +408,10 @@ def _make_handler(server: MotionCloneServer):
             if self.path == "/jobs":
                 return self._send_json(200, {"jobs": server.store.all()})
             if self.path.startswith("/jobs/"):
-                job = server.store.get(self.path[len("/jobs/"):])
-                if job is None:
+                rec = server.store.get_json(self.path[len("/jobs/"):])
+                if rec is None:
                     return self._send_json(404, {"error": "unknown job"})
-                return self._send_json(200, job.to_json())
+                return self._send_json(200, rec)
             return self._send_json(404, {"error": f"no such route: {self.path}"})
 
         def do_POST(self):  # noqa: N802

@@ -122,3 +122,34 @@ def test_cli_parser_accepts_reference_flags():
     assert args.without_xformers is True
     # --without-xformers maps to the plain-XLA attention backend in _setup
     assert args.attention_impl == "auto"
+
+
+def test_cli_default_surfaces_match_reference():
+    """Bare ``python t2v_video_sample.py`` / ``i2v_video_sample.py`` must run
+    the same workload as the reference: t2v defaults to the camera config with
+    seed 2025 (reference t2v_video_sample.py:111-118), i2v to the *sketch*
+    config with seed 76739 — the seed of the committed sample outputs
+    (reference i2v_video_sample.py:143-150)."""
+    from motionclone_tpu.cli import build_parser
+
+    t2v = build_parser(
+        "configs/t2v_camera.yaml", "configs/t2v_camera.jsonl"
+    ).parse_args([])
+    assert t2v.inference_config == "configs/t2v_camera.yaml"
+    assert t2v.default_seed == 2025
+
+    i2v = build_parser(
+        "configs/i2v_sketch.yaml", "configs/i2v_sketch.jsonl", default_seed=76739
+    ).parse_args([])
+    assert i2v.inference_config == "configs/i2v_sketch.yaml"
+    assert i2v.examples == "configs/i2v_sketch.jsonl"
+    assert i2v.default_seed == 76739
+
+    # and i2v_main itself wires those defaults (source-level assertion — the
+    # main cannot run without checkpoints)
+    import inspect
+
+    from motionclone_tpu import cli
+
+    src = inspect.getsource(cli.i2v_main)
+    assert "i2v_sketch.yaml" in src and "76739" in src

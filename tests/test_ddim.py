@@ -145,3 +145,58 @@ def test_eta_adds_variance_noise():
     expected = a_prev**0.5 * x0_hat + (1 - a_prev - sigma**2) ** 0.5 * 0.1 + sigma
     np.testing.assert_allclose(np.asarray(with_noise), expected, rtol=1e-5)
     assert not np.allclose(np.asarray(base), np.asarray(with_noise))
+
+
+def test_threshold_sample_matches_torch_oracle():
+    """Dynamic thresholding vs the exact torch math of diffusers'
+    ``DDIMScheduler._threshold_sample`` as the reference step invokes it
+    (motionclone_functions.py:355-357): per-sample quantile of |x0| (linear
+    interpolation), clamp to [1, sample_max_value], clip-and-normalize."""
+    import torch
+
+    from motionclone_tpu.diffusion.ddim import threshold_sample
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((2, 4, 3, 5, 5)) * 3).astype(np.float32)
+    ratio, max_value = 0.995, 1.5
+
+    t = torch.from_numpy(x).reshape(2, -1)
+    s = torch.quantile(t.abs(), ratio, dim=1)
+    s = torch.clamp(s, min=1.0, max=max_value).unsqueeze(1)
+    expected = (torch.clamp(t, -s, s) / s).reshape(x.shape).numpy()
+
+    got = np.asarray(threshold_sample(jnp.asarray(x), ratio, max_value))
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-6)
+
+    # small-amplitude samples: s clamps to 1 -> thresholding is a pure clip
+    small = (rng.standard_normal((1, 8)) * 0.1).astype(np.float32)
+    got_small = np.asarray(threshold_sample(jnp.asarray(small), ratio, max_value))
+    np.testing.assert_allclose(got_small, np.clip(small, -1, 1), atol=1e-7)
+
+
+def test_ddim_step_thresholding_branch():
+    """thresholding=True takes precedence over clip_sample
+    (motionclone_functions.py:355-360) and changes the step output exactly by
+    routing pred_x0 through threshold_sample."""
+    import dataclasses as _dc
+
+    from motionclone_tpu.diffusion.ddim import threshold_sample
+
+    cfg_thr = NoiseScheduleConfig(thresholding=True, clip_sample=True)
+    p_thr = make_ddim_params(cfg_thr)
+    p_plain = make_ddim_params(NoiseScheduleConfig(clip_sample=False))
+
+    rng = np.random.default_rng(3)
+    sample = jnp.asarray(rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32) * 2)
+    eps = jnp.asarray(rng.standard_normal(sample.shape).astype(np.float32))
+    t, t_prev = 801, 781
+
+    out_thr = ddim_step(p_thr, eps, t, t_prev, sample)
+
+    # hand-built expectation: unclipped x0 -> threshold -> DDIM update
+    a_t = p_plain.alphas_cumprod[t]
+    a_prev = p_plain.alphas_cumprod[t_prev]
+    x0 = (sample - (1 - a_t) ** 0.5 * eps) / a_t**0.5
+    x0 = threshold_sample(x0, cfg_thr.dynamic_thresholding_ratio, cfg_thr.sample_max_value)
+    expected = a_prev**0.5 * x0 + (1 - a_prev) ** 0.5 * eps
+    np.testing.assert_allclose(np.asarray(out_thr), np.asarray(expected), atol=1e-5)

@@ -221,3 +221,93 @@ def test_batch_failure_marks_all_failed_and_lone_job_uses_single_path(tmp_path):
     t2.start()
     t2.join(timeout=10)
     assert lone.status == "done" and lone.output_path.endswith("single.mp4")
+
+
+def test_validation_rejects_type_malformed_fields():
+    """Type-malformed fields must become ValueError (-> HTTP 400), never a
+    TypeError that drops the connection (ADVICE r1): int image_index, bare
+    string condition_image_paths (would silently split per character)."""
+    base = {"video_path": "v.mp4", "new_prompt": "x"}
+    with pytest.raises(ValueError, match="image_index"):
+        _validate_example({**base, "image_index": 5})
+    with pytest.raises(ValueError, match="condition_image_paths"):
+        _validate_example({**base, "condition_image_paths": "a.png"})
+    with pytest.raises(ValueError, match="seed"):
+        _validate_example({**base, "seed": "7"})
+    with pytest.raises(ValueError, match="controlnet_scale"):
+        _validate_example({**base, "controlnet_scale": "big"})
+    # the valid shapes still pass
+    _validate_example(
+        {**base, "condition_image_paths": ["a.png"], "image_index": [0],
+         "controlnet_scale": 1.0, "seed": 7}
+    )
+
+
+def test_terminal_status_implies_complete_record(server):
+    """A terminal job record always carries finished_at + seconds (the
+    transition is atomic under the store lock, ADVICE r1)."""
+    code, body = _req(
+        server.port, "/generate", {"video_path": "v.mp4", "new_prompt": "a dog"}
+    )
+    job_id = json.loads(body)["job_id"]
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        _, body = _req(server.port, f"/jobs/{job_id}")
+        rec = json.loads(body)
+        if rec["status"] in ("done", "failed"):
+            assert rec["finished_at"] is not None
+            assert "seconds" in rec and rec["seconds"] >= 0
+            return
+        time.sleep(0.005)
+    raise AssertionError("job never finished")
+
+
+def test_terminal_job_retention_is_bounded_and_counters_monotonic(tmp_path):
+    """Old terminal records are evicted past max_terminal, but the
+    Prometheus counters keep counting (ADVICE r1: unbounded /jobs growth)."""
+    from motionclone_tpu.serve import JobStore, _worker_loop
+
+    store = JobStore(max_queue=16, max_terminal=3)
+    jobs = [store.submit({"video_path": "v", "new_prompt": str(i)}) for i in range(8)]
+    _worker_loop_once = threading.Thread(
+        target=_worker_loop, args=(store, lambda ex: "out.mp4"), daemon=True
+    )
+    _worker_loop_once.start()
+    store.work.join()
+    store.shutting_down.set()
+    store.work.put_nowait(None)
+    _worker_loop_once.join(timeout=5)
+
+    recs = store.all()
+    assert len(recs) == 3  # only the newest 3 terminal records retained
+    assert [r["job_id"] for r in recs] == [j.job_id for j in jobs[-3:]]
+    c = store.counters()
+    assert c["jobs_total"] == 8 and c["jobs_done"] == 8
+    assert c["generate_seconds_count"] == 8
+    # evicted ids 404 via get
+    assert store.get(jobs[0].job_id) is None
+
+
+def test_shutdown_never_blocks_on_full_queue():
+    """shutdown() with a full work queue must return promptly via the
+    shutting_down flag instead of blocking in queue.put (ADVICE r1)."""
+    release = threading.Event()
+
+    def slow_job(example):
+        release.wait(timeout=10)
+        return "out.mp4"
+
+    srv = MotionCloneServer(slow_job, port=0, max_queue=1)
+    srv.start()
+    code, _ = _req(srv.port, "/generate", {"video_path": "v", "new_prompt": "a"})
+    assert code == 202
+    # fill the queue while the worker is busy
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        code, _ = _req(srv.port, "/generate", {"video_path": "v", "new_prompt": "b"})
+        if code == 202 and srv.store.work.full():
+            break
+    t0 = time.time()
+    release.set()
+    srv.shutdown()
+    assert time.time() - t0 < 15  # bounded: no indefinite block on put()
