@@ -1,0 +1,388 @@
+"""Whole-UNet and end-to-end pipeline torch oracles.
+
+Builds the tiny UNet3D config as a *hand-rolled functional torch network*
+(composing the per-module fixtures of test_torch_oracle.py, each cited to
+the reference), drives it from one synthetic diffusers-style state dict,
+loads the same dict through the production conversion path
+(``weights.load.unet_params_from_state_dict``), and asserts agreement:
+
+  1. full forward — noise_pred AND the guidance blocks' temporal-attention
+     probability maps (reference unet forward ordering,
+     motionclone_functions.py:478-662 / unet.py:320-475);
+  2. the extraction early-exit (``only_motion_feature``,
+     motionclone_functions.py:627-628) vs truncating the torch loop;
+  3. a 2-guided + 2-vanilla step pipeline vs a hand-rolled torch loop with
+     ``torch.autograd.grad`` — the reference's exact single_step_video
+     semantics (motionclone_functions.py:173-257) including the grad
+     through the temporal-attention softmax, warm-up/cool-down ramps, the
+     nonstandard CFG ``cond + s·(cond−uncond)`` (:239) and the guided DDIM
+     step (:286-409).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as TF
+
+from test_torch_oracle import (
+    assert_close,
+    fold_bcfhw,
+    from_torch_video,
+    randn,
+    rng,
+    t_inflated_conv,
+    t_inflated_groupnorm,
+    t_linear,
+    t_resnet_block,
+    t_spatial_transformer,
+    t_temporal_transformer,
+    to_torch_video,
+)
+from test_weights import _flax_path_to_torch_key
+
+from motionclone_tpu.config import (
+    InferenceConfig,
+    NoiseScheduleConfig,
+    tiny_unet_config,
+)
+from motionclone_tpu.models.unet3d import UNet3DConditionModel
+from motionclone_tpu.weights.convert import flatten_tree
+from motionclone_tpu.weights.load import unet_params_from_state_dict
+
+GUIDANCE = ("up_blocks.1",)
+
+
+# ---------------------------------------------------------------------------
+# synthetic checkpoint (torch layout, activation-scaled)
+# ---------------------------------------------------------------------------
+
+
+def synth_scaled_sd(params_tree, seed):
+    """Torch-layout state dict covering a flax tree, with fan-in-scaled
+    weights so activations stay O(1) through the full UNet depth (plain
+    unit-normal conv weights saturate the attention softmaxes)."""
+    r = np.random.default_rng(seed)
+    sd = {}
+    for path, arr in flatten_tree(params_tree["params"]).items():
+        leaf = path.split("/")[-1]
+        key = _flax_path_to_torch_key(path)
+        fshape = tuple(arr.shape)
+        if leaf == "kernel" and arr.ndim == 4:  # HWIO -> OIHW
+            tshape = (fshape[3], fshape[2], fshape[0], fshape[1])
+        elif leaf == "kernel" and arr.ndim == 2:
+            tshape = (fshape[1], fshape[0])
+        else:
+            tshape = fshape
+        if leaf == "kernel":
+            fan_in = int(np.prod(tshape[1:]))
+            val = r.standard_normal(tshape).astype(np.float32) * fan_in**-0.5
+        elif leaf == "scale":
+            val = (1.0 + 0.1 * r.standard_normal(tshape)).astype(np.float32)
+        else:
+            val = (0.1 * r.standard_normal(tshape)).astype(np.float32)
+        sd[key] = val
+    return sd
+
+
+def sub(sd, prefix):
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# hand-rolled torch tiny UNet (reference unet.py:320-475 forward ordering +
+# the customized variants of motionclone_functions.py:478-662)
+# ---------------------------------------------------------------------------
+
+
+def t_unet_forward(sd, cfg, x, t_scalar, ctx, guidance_blocks=(),
+                   max_up_block=None):
+    """Functional torch UNet3D forward.  ``x``: (B, C_in, F, H, W) torch,
+    ``ctx``: (B, L, D) torch.  Returns (noise_pred | None, probs dict of
+    (B, S, heads, F, F)) — the repo UNet's aux-output surface."""
+    probs = {}
+    B = x.shape[0]
+    ch0 = cfg.block_out_channels[0]
+    heads = cfg.num_heads
+    groups = cfg.norm_num_groups
+    mm = cfg.motion_module
+
+    # time embedding (unet.py:370-392; diffusers get_timestep_embedding with
+    # flip_sin_to_cos=True, downscale_freq_shift=0)
+    ts = torch.full((B,), float(t_scalar))
+    half = ch0 // 2
+    exponent = -math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half
+    emb = ts[:, None] * torch.exp(exponent)[None, :]
+    t_emb = torch.cat([torch.cos(emb), torch.sin(emb)], dim=-1)
+    temb = t_linear(t_emb, sd, "time_embedding.linear_1")
+    temb = t_linear(TF.silu(temb), sd, "time_embedding.linear_2")
+
+    h = t_inflated_conv(x, sd["conv_in.weight"], sd["conv_in.bias"])
+
+    def run_motion(h, path):
+        s = sub(sd, path + ".temporal_transformer.")
+        out, mm_probs = t_temporal_transformer(
+            h, s, mm.num_attention_heads, mm.norm_num_groups,
+            n_attn=len(mm.attention_block_types),
+            max_len=mm.temporal_position_encoding_max_len,
+            return_probs=True,
+        )
+        if any(g in path for g in guidance_blocks):
+            for k_i, p in enumerate(mm_probs):
+                probs[
+                    f"{path}.temporal_transformer.transformer_blocks.0"
+                    f".attention_blocks.{k_i}"
+                ] = p
+        return out
+
+    def resnet(h, prefix):
+        return t_resnet_block(h, temb, sub(sd, prefix), groups, "default",
+                              eps=cfg.norm_eps)
+
+    # down blocks (unet_blocks.py:407-411 / 508-512 layer ordering)
+    skips = [h]
+    n_blocks = len(cfg.block_out_channels)
+    for i, btype in enumerate(cfg.down_block_types):
+        prefix = f"down_blocks.{i}."
+        for j in range(cfg.layers_per_block):
+            h = resnet(h, prefix + f"resnets.{j}.")
+            if btype == "CrossAttnDownBlock3D":
+                h = t_spatial_transformer(
+                    h, sub(sd, prefix + f"attentions.{j}."), heads, groups, ctx
+                )
+            h = run_motion(h, f"down_blocks.{i}.motion_modules.{j}")
+            skips.append(h)
+        if i != n_blocks - 1:
+            h = t_inflated_conv(
+                h, sd[prefix + "downsamplers.0.conv.weight"],
+                sd[prefix + "downsamplers.0.conv.bias"], stride=2,
+            )
+            skips.append(h)
+
+    # mid block (unet_blocks.py:271-278; tiny config has no mid motion module)
+    h = resnet(h, "mid_block.resnets.0.")
+    h = t_spatial_transformer(h, sub(sd, "mid_block.attentions.0."), heads,
+                              groups, ctx)
+    h = resnet(h, "mid_block.resnets.1.")
+
+    # up blocks (unet_blocks.py:630-661 / 735-756) with the extraction
+    # early exit (motionclone_functions.py:627-628)
+    for i, btype in enumerate(cfg.up_block_types):
+        if max_up_block is not None and i > max_up_block:
+            return None, probs
+        prefix = f"up_blocks.{i}."
+        for j in range(cfg.layers_per_block + 1):
+            h = torch.cat([h, skips.pop()], dim=1)
+            h = resnet(h, prefix + f"resnets.{j}.")
+            if btype == "CrossAttnUpBlock3D":
+                h = t_spatial_transformer(
+                    h, sub(sd, prefix + f"attentions.{j}."), heads, groups, ctx
+                )
+            h = run_motion(h, f"up_blocks.{i}.motion_modules.{j}")
+        if i != len(cfg.up_block_types) - 1:
+            h = TF.interpolate(h, scale_factor=(1.0, 2.0, 2.0), mode="nearest")
+            h = t_inflated_conv(
+                h, sd[prefix + "upsamplers.0.conv.weight"],
+                sd[prefix + "upsamplers.0.conv.bias"],
+            )
+
+    h = t_inflated_groupnorm(h, groups, sd["conv_norm_out.weight"],
+                             sd["conv_norm_out.bias"], eps=cfg.norm_eps)
+    h = TF.silu(h)
+    return t_inflated_conv(h, sd["conv_out.weight"], sd["conv_out.bias"]), probs
+
+
+# ---------------------------------------------------------------------------
+# fixtures shared by the tests
+# ---------------------------------------------------------------------------
+
+CFG = tiny_unet_config()
+B, F_, HW = 1, 4, 16
+X_SHAPE = (B, F_, HW, HW, CFG.in_channels)
+
+
+def _setup(seed=100):
+    model = UNet3DConditionModel(cfg=CFG, guidance_blocks=GUIDANCE,
+                                 attention_impl="xla", dtype=jnp.float32)
+    init = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros(X_SHAPE), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((B, 7, CFG.cross_attention_dim)),
+        )
+    )
+    sd = synth_scaled_sd(init, seed)
+    params = unet_params_from_state_dict(sd, CFG)
+    sd_t = {k: torch.from_numpy(v) for k, v in sd.items()}
+    return model, params, sd_t
+
+
+def test_unet_forward_matches_torch():
+    model, params, sd_t = _setup()
+    r = rng(101)
+    x = randn(r, *X_SHAPE)
+    ctx = randn(r, B, 7, CFG.cross_attention_dim)
+    t = 401
+
+    pred, probs = model.apply(params, jnp.asarray(x), jnp.asarray(t),
+                              jnp.asarray(ctx))
+    expected_pred, expected_probs = t_unet_forward(
+        sd_t, CFG, to_torch_video(x), t, torch.from_numpy(ctx),
+        guidance_blocks=GUIDANCE,
+    )
+
+    assert_close(pred, from_torch_video(expected_pred), atol=2e-4, rtol=1e-4,
+                 label="unet noise_pred")
+    assert sorted(probs) == sorted(expected_probs)
+    assert len(probs) == 4  # up_blocks.1 x 2 motion modules x 2 attn blocks
+    for k in probs:
+        assert_close(probs[k], expected_probs[k], atol=5e-5, rtol=5e-5,
+                     label=f"probs {k}")
+
+
+def test_unet_extraction_early_exit_matches_torch():
+    """max_up_block=1 (the reference's only_motion_feature fast path) emits
+    identical probs to the truncated torch loop and skips the tail."""
+    model, params, sd_t = _setup(seed=102)
+    r = rng(103)
+    x = randn(r, *X_SHAPE)
+    ctx = randn(r, B, 7, CFG.cross_attention_dim)
+
+    pred, probs = model.apply(params, jnp.asarray(x), jnp.asarray(400),
+                              jnp.asarray(ctx), max_up_block=1)
+    assert pred is None
+    expected_pred, expected_probs = t_unet_forward(
+        sd_t, CFG, to_torch_video(x), 400, torch.from_numpy(ctx),
+        guidance_blocks=GUIDANCE, max_up_block=1,
+    )
+    assert expected_pred is None
+    assert sorted(probs) == sorted(expected_probs)
+    for k in probs:
+        assert_close(probs[k], expected_probs[k], atol=5e-5, rtol=5e-5,
+                     label=f"probs {k}")
+
+
+# ---------------------------------------------------------------------------
+# 2-guided + 2-vanilla pipeline vs a hand-rolled torch loop
+# ---------------------------------------------------------------------------
+
+
+def t_sparsify_top1(probs):
+    """torch.topk(probs, k=1, dim=-1) (motionclone_functions.py:79)."""
+    values, indices = torch.topk(probs, k=1, dim=-1)
+    return values, indices.to(torch.uint8)
+
+
+def t_motion_loss(probs, rep):
+    """compute_temp_loss (motionclone_functions.py:85-100): per-module
+    gather-at-saved-argmax MSE vs saved (detached) max values, summed."""
+    total = 0.0
+    for name in sorted(probs):
+        values, indices = rep[name]
+        picked = torch.gather(probs[name], -1, indices.long())
+        total = total + TF.mse_loss(picked, values.detach())
+    return total
+
+
+def test_two_step_guided_pipeline_matches_torch():
+    """fns.extract + fns.sample (2 guided + 2 vanilla steps) vs the
+    reference's exact loop in torch, including torch.autograd.grad of the
+    motion loss w.r.t. the latents (single_step_video,
+    motionclone_functions.py:173-257)."""
+    from motionclone_tpu.diffusion.ddim import build_timesteps, prev_timesteps
+    from motionclone_tpu.diffusion.guidance import ramp_scales
+    from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+
+    infer = InferenceConfig(
+        inference_steps=4, guidance_steps=2, guidance_fraction=0.3,
+        warm_up_steps=1, cool_up_steps=1, motion_guidance_weight=50.0,
+        motion_guidance_blocks=GUIDANCE, add_noise_step=400,
+        cfg_scale=7.5, width=HW * 8, height=HW * 8, video_length=F_,
+    )
+    sched = NoiseScheduleConfig()
+    _, params, sd_t = _setup(seed=104)
+
+    fns = make_sampling_fns(CFG, sched, infer, dtype=jnp.float32,
+                            attention_impl="xla")
+
+    r = rng(105)
+    video_latents = randn(r, *X_SHAPE)
+    extract_noise = randn(r, *X_SHAPE)
+    uncond = randn(r, B, 7, CFG.cross_attention_dim)
+    cond = randn(r, B, 7, CFG.cross_attention_dim)
+    init_latents = randn(r, *X_SHAPE)
+
+    # ---- extraction (motionclone_functions.py:19-82)
+    rep = fns.extract(params, jnp.asarray(video_latents),
+                      jnp.asarray(extract_noise), jnp.asarray(uncond),
+                      None, None)
+
+    betas = torch.linspace(sched.beta_start, sched.beta_end, 1000,
+                           dtype=torch.float64)
+    acp = torch.cumprod(1.0 - betas, dim=0).float()
+    a = acp[infer.add_noise_step]
+    noisy = (a**0.5 * to_torch_video(video_latents)
+             + (1 - a) ** 0.5 * to_torch_video(extract_noise))
+    _, probs_t = t_unet_forward(sd_t, CFG, noisy, infer.add_noise_step,
+                                torch.from_numpy(uncond),
+                                guidance_blocks=GUIDANCE, max_up_block=1)
+    rep_t = {k: t_sparsify_top1(p) for k, p in probs_t.items()}
+
+    assert sorted(rep) == sorted(rep_t)
+    for k in rep:
+        assert_close(rep[k][0], rep_t[k][0], atol=5e-5, rtol=5e-5,
+                     label=f"rep values {k}")
+        # argmax positions: allow no mismatches (ties are measure-zero on
+        # random float inputs)
+        np.testing.assert_array_equal(np.asarray(rep[k][1]),
+                                      rep_t[k][1].numpy(), err_msg=k)
+
+    # ---- sampling: 2 guided + 2 vanilla steps
+    latents_j = fns.sample(params, jnp.asarray(init_latents),
+                           jnp.asarray(uncond), jnp.asarray(cond), rep)
+
+    ts = build_timesteps(infer.inference_steps, 1000,
+                         guidance_steps=infer.guidance_steps,
+                         guidance_fraction=infer.guidance_fraction)
+    tp = prev_timesteps(ts)
+    ramps = ramp_scales(infer.guidance_steps, infer.warm_up_steps,
+                        infer.cool_up_steps)
+    ctx_u = torch.from_numpy(uncond)
+    ctx_c = torch.from_numpy(cond)
+    lat = to_torch_video(init_latents)
+
+    def t_ddim(eps, t, t_prev, sample, score=None):
+        a_t = acp[t]
+        a_prev = acp[t_prev] if t_prev >= 0 else torch.tensor(1.0)
+        x0 = (sample - (1 - a_t) ** 0.5 * eps) / a_t**0.5
+        if score is not None:
+            eps = eps - (1 - a_t) ** 0.5 * score
+        return a_prev**0.5 * x0 + (1 - a_prev) ** 0.5 * eps
+
+    for i in range(infer.inference_steps):
+        t, t_prev = int(ts[i]), int(tp[i])
+        if i < infer.guidance_steps:
+            # guided branch (motionclone_functions.py:200-243)
+            with torch.no_grad():
+                eps_u, _ = t_unet_forward(sd_t, CFG, lat, t, ctx_u)
+            with torch.enable_grad():
+                leaf = lat.clone().detach().requires_grad_(True)
+                eps_c, probs_c = t_unet_forward(sd_t, CFG, leaf, t, ctx_c,
+                                                guidance_blocks=GUIDANCE)
+                loss = infer.motion_guidance_weight * float(ramps[i]) * \
+                    t_motion_loss(probs_c, rep_t)
+                (grad,) = torch.autograd.grad(loss, leaf)
+            eps = eps_c.detach() + infer.cfg_scale * (eps_c.detach() - eps_u)
+            lat = t_ddim(eps, t, t_prev, lat, score=grad)
+        else:
+            # vanilla branch (motionclone_functions.py:245-257)
+            with torch.no_grad():
+                eps_u, _ = t_unet_forward(sd_t, CFG, lat, t, ctx_u)
+                eps_c, _ = t_unet_forward(sd_t, CFG, lat, t, ctx_c)
+            eps = eps_c + infer.cfg_scale * (eps_c - eps_u)
+            lat = t_ddim(eps, t, t_prev, lat)
+
+    assert_close(latents_j, from_torch_video(lat.detach()),
+                 atol=2e-3, rtol=2e-3, label="2+2-step pipeline latents")
