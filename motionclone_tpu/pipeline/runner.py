@@ -269,9 +269,9 @@ class MotionCloneRuntime:
                 sds["text_encoder"], self.clip_cfg, dtype=np_dtype
             )
 
-        from transformers import CLIPTokenizer
+        from motionclone_tpu.io.tokenizer import ClipTokenizer
 
-        self.tokenizer = CLIPTokenizer.from_pretrained(
+        self.tokenizer = ClipTokenizer.from_pretrained(
             pretrained_model_path, subfolder="tokenizer"
         )
 
@@ -378,13 +378,9 @@ class MotionCloneRuntime:
     # ------------------------------------------------------------------
 
     def _tokenize(self, text: str) -> jnp.ndarray:
-        ids = self.tokenizer(
-            text,
-            padding="max_length",
-            max_length=self.tokenizer.model_max_length,
-            truncation=True,
-            return_tensors="np",
-        ).input_ids
+        ids = self.tokenizer.encode_padded(
+            text, max_length=self.tokenizer.model_max_length
+        )
         return jnp.asarray(ids, dtype=jnp.int32)
 
     def encode_prompt(
