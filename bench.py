@@ -141,6 +141,24 @@ def main():
         f"sampling: {elapsed:.2f}s/video, {steps_per_sec:.2f} denoise steps/s/chip"
     )
 
+    # per-phase attribution: dispatch each phase's chunk alone (same
+    # compiled executables as the 50-step chunks above) with fresh latents
+    # (the tunnel dedupes identical dispatches) and fetch a scalar to sync
+    g_xs, v_xs = fns.phase_xs
+    lat3 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    t0 = time.time()
+    lat_g = fns.guided_chunk(params, lat3, uncond, cond, rep, None, None, g_xs)
+    float(lat_g.ravel()[0])
+    guided_ms = (time.time() - t0) * 1000.0 / len(g_xs[0])
+    t0 = time.time()
+    lat_v = fns.vanilla_chunk(params, lat_g, uncond, cond, rep, None, None, v_xs)
+    float(lat_v.ravel()[0])
+    vanilla_ms = (time.time() - t0) * 1000.0 / len(v_xs[0])
+    log(
+        f"phase timing: guided {guided_ms:.1f} ms/step x {len(g_xs[0])}, "
+        f"vanilla {vanilla_ms:.1f} ms/step x {len(v_xs[0])}"
+    )
+
     print(
         json.dumps(
             {
@@ -148,6 +166,9 @@ def main():
                 "value": round(elapsed, 3),
                 "unit": "s",
                 "vs_baseline": round(TARGET_SECONDS / elapsed, 3),
+                "steps_per_sec": round(steps_per_sec, 3),
+                "guided_ms_per_step": round(guided_ms, 1),
+                "vanilla_ms_per_step": round(vanilla_ms, 1),
             }
         )
     )

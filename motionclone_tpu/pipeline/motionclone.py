@@ -98,6 +98,13 @@ class SamplingFns:
     sample_plain_probs: Callable[..., Tuple[jnp.ndarray, Dict[str, np.ndarray]]]
     timesteps: np.ndarray
     ddim: DDIMParams
+    # the two phase bodies ``sample`` chains, exposed for per-phase timing
+    # (bench.py) and profiling tools; signature
+    # (params, latents, uncond, cond, rep, cn_params, cn_cond, xs) -> latents
+    guided_chunk: Optional[Callable] = None
+    vanilla_chunk: Optional[Callable] = None
+    # full per-phase scan inputs: (guided xs tuple, vanilla xs tuple)
+    phase_xs: Optional[Tuple[Tuple, Tuple]] = None
 
 
 def make_sampling_fns(
@@ -725,6 +732,11 @@ def make_sampling_fns(
         extract=extract, sample=sample, sample_plain=sample_plain,
         sample_plain_probs=sample_plain_probs,
         timesteps=timesteps, ddim=ddim,
+        guided_chunk=guided_chunk, vanilla_chunk=vanilla_chunk,
+        phase_xs=(
+            (ts_guided, tp_guided, ramps_guided),
+            (ts_vanilla, tp_vanilla),
+        ),
     )
 
 
