@@ -77,8 +77,8 @@ def build_parser(
         metavar="N",
         help="split the frame axis over N local devices (N must divide "
         "--L). t2v/i2v: single-video latency scaling; sweeps: composes "
-        "with example data-parallelism over a (data, frames) mesh "
-        "(examples per batch = devices / N; always gspmd mode)",
+        "with example data-parallelism over a (data, [cfg,] frames) mesh "
+        "(examples per batch = devices / N / cfg)",
     )
     parser.add_argument(
         "--frame-shard-mode",
@@ -87,8 +87,27 @@ def build_parser(
         choices=["shardmap", "gspmd"],
         help="frame-sharding execution: 'shardmap' keeps the fused Pallas "
         "kernels per chip with explicit temporal-attention all_gathers "
-        "(fastest; t2v), 'gspmd' lets XLA partition a pure-XLA graph "
-        "(general; used automatically for i2v/controlnet)",
+        "(fastest; t2v and i2v/controlnet), 'gspmd' lets XLA partition a "
+        "pure-XLA graph (general fallback)",
+    )
+    parser.add_argument(
+        "--cfg-pair",
+        action="store_true",
+        help="split each classifier-free-guidance pair over a 'cfg' mesh "
+        "axis of size 2. With --frame-shard N: a composed (cfg, frames) "
+        "mesh over 2N devices (single-video latency); in sweeps: a "
+        "(data, cfg) mesh (best when chips outnumber examples)",
+    )
+    parser.add_argument(
+        "--approx",
+        type=str,
+        default="",
+        metavar="MODE[:K]",
+        help="OUTPUT-CHANGING speed mode; default is the exact pipeline. "
+        "'uncond-cache[:K]': cross-step cache — refresh the unconditional "
+        "UNet forward every K steps (default 3) and reuse the cached "
+        "prediction in between (the conditional pass and motion guidance "
+        "stay exact)",
     )
     parser.add_argument(
         "--weights-cache",
@@ -100,6 +119,21 @@ def build_parser(
         "config set, later startups mmap the cached safetensors",
     )
     return parser
+
+
+def parse_approx(spec: str) -> int:
+    """'--approx uncond-cache[:K]' -> the uncond refresh interval K."""
+    if not spec:
+        return 1
+    name, _, k = spec.partition(":")
+    if name != "uncond-cache":
+        raise SystemExit(
+            f"unknown --approx mode {name!r} (supported: uncond-cache[:K])"
+        )
+    interval = int(k) if k else 3
+    if interval < 2:
+        raise SystemExit("--approx uncond-cache:K needs K >= 2")
+    return interval
 
 
 def _setup(args, cfg=None):
@@ -128,6 +162,8 @@ def _setup(args, cfg=None):
         config_root=args.config_root,
         frame_shard=args.frame_shard,
         frame_shard_mode=args.frame_shard_mode,
+        cfg_pair=getattr(args, "cfg_pair", False),
+        uncond_interval=parse_approx(getattr(args, "approx", "")),
         weights_cache=args.weights_cache,
     )
     return cfg, runtime
@@ -289,12 +325,6 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
     parser = build_parser("configs/t2v_camera.yaml", "configs/t2v_camera.jsonl")
     parser.add_argument("--num-devices", type=int, default=0)
     parser.add_argument(
-        "--cfg-pair",
-        action="store_true",
-        help="also split each example's CFG pair over a second mesh axis "
-        "(even device count; best when chips outnumber examples)",
-    )
-    parser.add_argument(
         "--distributed",
         action="store_true",
         help="multi-host sweep: join the JAX distributed runtime (cluster "
@@ -330,10 +360,10 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
     # batch examples)
     frame_shard = args.frame_shard
     args.frame_shard = 0
+    cfg_pair = args.cfg_pair
+    args.cfg_pair = False  # run_sweep composes its own mesh
     if frame_shard:
-        # "shardmap" is the flag default, so don't scold — just state the
-        # mode sweeps actually run
-        print("sweep frame sharding runs in gspmd mode")
+        print(f"sweep frame sharding runs in {args.frame_shard_mode} mode")
     _, runtime = _setup(args)
     examples = load_examples(args.examples)
     if multi_process:
@@ -355,8 +385,9 @@ def sweep_main(argv: Optional[Sequence[str]] = None) -> None:
         default_seed=args.default_seed,
         config_root=args.config_root,
         num_devices=args.num_devices,
-        cfg_pair=args.cfg_pair,
+        cfg_pair=cfg_pair,
         frame_shard=frame_shard,
+        frame_shard_mode=args.frame_shard_mode,
         resume=args.resume,
     )
     for p in paths:

@@ -153,6 +153,11 @@ class ConditioningEmbedding(nn.Module):
 class SparseControlNetModel(nn.Module):
     cfg: SparseControlNetConfig
     attention_impl: str = "auto"
+    # mesh axis the frame dimension is sharded over inside jax.shard_map
+    # (same contract as UNet3DConditionModel.frames_axis): the controlnet's
+    # own temporal modules (reference sparse_controlnet.py:122-134) then
+    # all_gather K/V across the frame shards
+    frames_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -241,6 +246,7 @@ class SparseControlNetModel(nn.Module):
                 motion_module_cfg=cfg.motion_module,
                 path=f"down_blocks.{i}",
                 guidance_blocks=(),
+                frames_axis=self.frames_axis,
                 dtype=self.dtype,
             )
             if block_type == "CrossAttnDownBlock3D":
@@ -268,6 +274,7 @@ class SparseControlNetModel(nn.Module):
             use_motion_module=cfg.use_motion_module and cfg.motion_module_mid_block,
             motion_module_cfg=cfg.motion_module,
             attention_impl=self.attention_impl,
+            frames_axis=self.frames_axis,
             dtype=self.dtype,
             name="mid_block",
         )(x, temb, encoder_hidden_states)

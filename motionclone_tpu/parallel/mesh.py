@@ -84,6 +84,30 @@ def make_mesh_video(
     return _mesh_2axes((cfg, frames), ("cfg", "frames"), devices)
 
 
+def make_mesh_sweep(
+    data: int, cfg: int = 1, frames: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """A (data, cfg, frames) mesh for shard_map sweeps: independent examples
+    over ``data``, each example's CFG pair over ``cfg`` (1 disables), and
+    its frame axis over ``frames`` — the fully composed throughput x
+    latency layout.  Frame shards of one example sit on adjacent devices so
+    the temporal all_gathers ride single ICI hops; the cfg halves pair
+    across the next stride."""
+    if data < 1 or cfg < 1 or frames < 1:
+        raise ValueError(
+            f"data={data}, cfg={cfg}, frames={frames} must all be >= 1"
+        )
+    if devices is None:
+        devices = jax.devices()
+    n = data * cfg * frames
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(
+        np.asarray(devices[:n]).reshape(data, cfg, frames),
+        axis_names=("data", "cfg", "frames"),
+    )
+
+
 def make_mesh_data_frames(
     data: int, frames: int, devices: Optional[Sequence] = None
 ) -> Mesh:

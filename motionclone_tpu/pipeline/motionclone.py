@@ -83,8 +83,10 @@ def make_controlnet_apply(model):
         return model.apply(cn_params, latents, t, text_emb, cond, mask, scale)
 
     # recorded so make_sampling_fns can reject Pallas-backed controlnets
-    # inside sharded graphs (GSPMD cannot partition custom calls)
+    # inside GSPMD-sharded graphs (no partitioning rule for custom calls)
+    # and controlnets without frame-shard collectives inside shard_map
     apply.attention_impl = model.attention_impl
+    apply.frames_axis = model.frames_axis
     return apply
 
 
@@ -120,6 +122,7 @@ def make_sampling_fns(
     cfg_pair_sharding=None,
     frame_sharding=None,
     frame_shard_map=None,
+    uncond_interval: int = 1,
 ) -> SamplingFns:
     """Build the jitted extract/sample functions for one workload config.
 
@@ -175,23 +178,70 @@ def make_sampling_fns(
             )
         if cfg_pair_sharding is not None:
             raise ValueError(
-                "frame_shard_map does not compose with cfg_pair_sharding yet"
+                "cfg_pair_sharding is the GSPMD mechanism; under "
+                "frame_shard_map the CFG pair composes via a 'cfg' mesh "
+                "axis of size 2 (parallel.mesh.make_mesh_video(frames, "
+                "cfg=2))"
             )
-        if controlnet_apply is not None:
+        if controlnet_apply is not None and (
+            getattr(controlnet_apply, "frames_axis", None) != "frames"
+        ):
             raise ValueError(
-                "frame_shard_map does not support controlnet workloads; "
-                "use frame_sharding (GSPMD) for i2v"
+                "frame_shard_map needs a frame-sharded controlnet: build "
+                "SparseControlNetModel with frames_axis='frames' (its "
+                "temporal modules must all_gather K/V across the frame "
+                "shards like the UNet's)"
             )
         if "frames" not in frame_shard_map.axis_names:
             raise ValueError(
                 f"frame_shard_map mesh needs a 'frames' axis, has "
                 f"{frame_shard_map.axis_names}"
             )
+        _cfg_axis = dict(frame_shard_map.shape).get("cfg", 1)
+        if _cfg_axis not in (1, 2):
+            raise ValueError(
+                f"frame_shard_map 'cfg' axis must have size 1 or 2 (the "
+                f"CFG pair), got {_cfg_axis}"
+            )
         if not unet_cfg.use_inflated_groupnorm:
             raise ValueError(
                 "frame_shard_map requires use_inflated_groupnorm (global "
                 "GroupNorm statistics would be computed per shard)"
             )
+    # explicit-SPMD CFG-pair composition: mesh ('cfg'=2, 'frames'=N)
+    smap_cfg_pair = (
+        frame_shard_map is not None
+        and dict(frame_shard_map.shape).get("cfg", 1) == 2
+    )
+    # --approx cross-step uncond cache: the unconditional UNet forward
+    # refreshes every ``uncond_interval`` steps and the cached prediction is
+    # reused in between (the conditional pass — and with it the motion
+    # guidance — stays exact).  OUTPUT-CHANGING: opt-in only, never the
+    # default path (BASELINE.md parity forbids it there).
+    if uncond_interval < 1:
+        raise ValueError(f"uncond_interval must be >= 1, got {uncond_interval}")
+    if uncond_interval > 1 and (cfg_pair_sharding is not None or smap_cfg_pair):
+        raise ValueError(
+            "the uncond cache (--approx) does not compose with CFG-pair "
+            "splitting: the pair formulations evaluate both halves jointly"
+        )
+
+    def _check_smap_cn_cond(cn_cond):
+        # shard_map in_specs are static: with a controlnet configured the
+        # cn_cond slot's sharding is a (frames, frames, replicated) triple,
+        # so per-call None (an example without condition images) cannot be
+        # fed through — fail with guidance instead of a pytree error
+        if (
+            frame_shard_map is not None
+            and controlnet_apply is not None
+            and cn_cond is None
+        ):
+            raise ValueError(
+                "frame-sharded (shard_map) controlnet pipelines need "
+                "cn_cond on every call; run unconditioned examples "
+                "unsharded or via the GSPMD mode"
+            )
+
     frames_axis = "frames" if frame_shard_map is not None else None
     ddim = make_ddim_params(sched_cfg)
     if guided_attention_impl is None:
@@ -320,8 +370,25 @@ def make_sampling_fns(
     if frame_shard_map is not None:
         from jax.sharding import PartitionSpec as _P
 
-        _vid = _P(None, "frames")
-        _rep = _P(None, None, None, "frames", None)
+        # an optional 'data' mesh axis shards the example batch dimension
+        # (shard_map sweeps: mesh ('data', 'frames') or
+        # ('data', 'cfg', 'frames')); without it the batch is replicated
+        _data = "data" if "data" in frame_shard_map.axis_names else None
+        _vid = _P(_data, "frames")
+        _rep = _P(_data, None, None, "frames", None)
+        _emb = _P(_data)
+        # controlnet conditioning (cond, mask, scale): the frame-scattered
+        # condition tensors shard like video tensors; the scale replicates
+        # (a python float) unless the batch is data-sharded, in which case
+        # it must be the per-example (B,1,1,1,1) array the sweep builds.
+        # Without a controlnet the cn_cond slot is always None — an empty
+        # pytree any spec prefixes.
+        # the scale spec must be length-0 for a scalar (python-float) scale;
+        # under a data mesh it must be the per-example (B,1,1,1,1) array
+        _scale = _P("data") if _data else _P()
+        _cn_cond = (
+            (_vid, _vid, _scale) if controlnet_apply is not None else _P()
+        )
 
         def _smap(fn, in_specs, out_specs):
             # check_vma=False: the Pallas kernels inside (flash/fused/
@@ -340,11 +407,18 @@ def make_sampling_fns(
                 )
             )
 
-        extract = _smap(
+        _extract_smap = _smap(
             _extract,
-            (_P(), _vid, _vid, _P(), _P(), _P()),
+            (_P(), _vid, _vid, _emb, _P(), _cn_cond),
             _rep,
         )
+
+        def extract(params, video_latents, noise, uncond_emb,
+                    cn_params=None, cn_cond=None):
+            _check_smap_cn_cond(cn_cond)
+            return _extract_smap(
+                params, video_latents, noise, uncond_emb, cn_params, cn_cond
+            )
     else:
         extract = jax.jit(_extract)
 
@@ -494,6 +568,86 @@ def make_sampling_fns(
             )
             return frame_constrain(new_latents), loss
 
+        def guided_step_smap_pair(latents, step):
+            """Guided step inside ``shard_map`` over a ('cfg', 'frames')
+            mesh — the explicit-SPMD composition of the CFG pair with frame
+            sharding (the shard_map analog of ``guided_step_pair``).
+
+            Both cfg groups run the SAME fwd+bwd program, each on its
+            half's embedding; the halves then combine with masked psums
+            over 'cfg'.  The uncond group's gradient is masked to zero —
+            its backward is wasted FLOPs, but it runs concurrently with the
+            cond group's, so the per-chip critical path is one fwd+bwd
+            (vs the serial uncond-fwd + cond-fwd/bwd), and the branchless
+            program keeps every chip's schedule uniform.  The psums sit
+            OUTSIDE the differentiated function, so the check_vma=False
+            double-count hazard (see motion_guidance_loss) does not apply.
+            """
+            t, tp, ramp = step
+            is_cond = jax.lax.axis_index("cfg") == 1
+
+            def only_cond(x):
+                return jax.lax.psum(
+                    jnp.where(is_cond, x, jnp.zeros_like(x)), "cfg"
+                )
+
+            def only_uncond(x):
+                return jax.lax.psum(
+                    jnp.where(is_cond, jnp.zeros_like(x), x), "cfg"
+                )
+
+            emb = jnp.where(is_cond, cond_emb, uncond_emb)
+            if controlnet_apply is not None and cn_cond is not None:
+                # batch-B controlnet on the local half's embedding (the
+                # serial step's batched pair splits across the cfg groups)
+                cn_res = controlnet_apply(cn_params, latents, t, emb, cn_cond)
+            else:
+                cn_res = (None, None)
+            (loss, pred), grad = grad_fn(
+                params, latents, t, emb, motion_rep, cn_res
+            )
+            uncond_pred = only_uncond(pred)
+            cond_pred = only_cond(pred)
+            grad = only_cond(grad) * ramp
+            noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
+            new_latents = ddim_step(
+                ddim, noise_pred, t, tp, latents, score=grad, guidance_scale=1.0
+            )
+            return new_latents, loss
+
+        def vanilla_step_smap_pair(latents, step):
+            """Vanilla CFG step with the pair split over the 'cfg' mesh
+            axis inside ``shard_map``: each group runs a batch-B forward on
+            its half's embedding (halving the per-chip vanilla cost) and
+            the halves combine with masked psums."""
+            t, tp = step
+            is_cond = jax.lax.axis_index("cfg") == 1
+
+            def half(c, x):
+                return jax.lax.psum(
+                    jnp.where(c, x, jnp.zeros_like(x)), "cfg"
+                )
+
+            emb = jnp.where(is_cond, cond_emb, uncond_emb)
+            if controlnet_apply is not None and cn_cond is not None:
+                down_res, mid_res = controlnet_apply(
+                    cn_params, latents, t, emb, cn_cond
+                )
+            else:
+                down_res, mid_res = None, None
+            pred, _ = plain_unet.apply(
+                params,
+                latents,
+                t,
+                emb,
+                down_block_residuals=down_res,
+                mid_block_residual=mid_res,
+            )
+            uncond_pred = half(~is_cond, pred)
+            cond_pred = half(is_cond, pred)
+            noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
+            return ddim_step(ddim, noise_pred, t, tp, latents), jnp.zeros(())
+
         if cfg_pair_sharding is not None:
             guided_step = guided_step_pair
 
@@ -527,26 +681,135 @@ def make_sampling_fns(
             new_latents = ddim_step(ddim, noise_pred, t, tp, latents)
             return frame_constrain(new_latents), jnp.zeros(())
 
-        return guided_step, vanilla_step
+        def guided_step_approx(carry, step):
+            """Guided step with the cross-step uncond cache: carry is
+            (latents, cached uncond prediction); ``refresh`` (a per-step
+            scan input) decides between a fresh unconditional forward and
+            the cached one.  The conditional fwd+bwd — the motion guidance
+            — stays exact; only the CFG base is approximated."""
+            latents, prev_u = carry
+            t, tp, ramp, refresh = step
+            latents = frame_constrain(latents)
+            cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
+
+            def fresh(operand):
+                lat, _ = operand
+                up, _ = plain_unet.apply(
+                    params,
+                    lat,
+                    t,
+                    uncond_emb,
+                    down_block_residuals=cn_u[0],
+                    mid_block_residual=cn_u[1],
+                )
+                return up
+
+            uncond_pred = jax.lax.cond(
+                refresh, fresh, lambda op: op[1], (latents, prev_u)
+            )
+            (loss, cond_pred), grad = grad_fn(
+                params, latents, t, cond_emb, motion_rep, cn_c
+            )
+            grad = grad * ramp
+            noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
+            new_latents = ddim_step(
+                ddim, noise_pred, t, tp, latents, score=grad, guidance_scale=1.0
+            )
+            return (frame_constrain(new_latents), uncond_pred), loss
+
+        def vanilla_step_approx(carry, step):
+            """Vanilla CFG step with the uncond cache: on refresh steps the
+            standard batch-2 pair runs; in between a batch-1 conditional
+            forward pairs with the cached uncond prediction."""
+            latents, prev_u = carry
+            t, tp, refresh = step
+            latents = frame_constrain(latents)
+            cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
+            b = latents.shape[0]
+
+            def fresh(operand):
+                lat, _ = operand
+                lat2 = jnp.concatenate([lat, lat], axis=0)
+                if cn_u[0] is None:
+                    down_res, mid_res = None, None
+                else:
+                    down_res = tuple(
+                        jnp.concatenate([u, c], axis=0)
+                        for u, c in zip(cn_u[0], cn_c[0])
+                    )
+                    mid_res = jnp.concatenate([cn_u[1], cn_c[1]], axis=0)
+                pred2, _ = plain_unet.apply(
+                    params,
+                    lat2,
+                    t,
+                    emb_pair,
+                    down_block_residuals=down_res,
+                    mid_block_residual=mid_res,
+                )
+                return pred2[:b], pred2[b:]
+
+            def stale(operand):
+                lat, pu = operand
+                pred, _ = plain_unet.apply(
+                    params,
+                    lat,
+                    t,
+                    cond_emb,
+                    down_block_residuals=cn_c[0],
+                    mid_block_residual=cn_c[1],
+                )
+                return pu, pred
+
+            uncond_pred, cond_pred = jax.lax.cond(
+                refresh, fresh, stale, (latents, prev_u)
+            )
+            noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
+            new_latents = ddim_step(ddim, noise_pred, t, tp, latents)
+            return (
+                (frame_constrain(new_latents), uncond_pred),
+                jnp.zeros(()),
+            )
+
+        if smap_cfg_pair:
+            return guided_step_smap_pair, vanilla_step_smap_pair, None, None
+        return guided_step, vanilla_step, guided_step_approx, vanilla_step_approx
+
+    def _refresh_flags(n):
+        # per-chunk refresh schedule: step 0 of every chunk refreshes (the
+        # cache cannot cross chunk-dispatch boundaries), then every
+        # uncond_interval-th step
+        return (jnp.arange(n) % uncond_interval) == 0
 
     def _guided_chunk(params, latents, uncond_emb, cond_emb, motion_rep,
                       cn_params, cn_cond, xs):
-        guided_step, _ = _make_steps(
+        guided_step, _, guided_approx, _ = _make_steps(
             params, uncond_emb, cond_emb, motion_rep, cn_params, cn_cond
         )
-        latents, _ = jax.lax.scan(guided_step, latents, xs)
+        if uncond_interval > 1:
+            xs = tuple(xs) + (_refresh_flags(xs[0].shape[0]),)
+            (latents, _), _ = jax.lax.scan(
+                guided_approx, (latents, jnp.zeros_like(latents)), xs
+            )
+        else:
+            latents, _ = jax.lax.scan(guided_step, latents, xs)
         return latents
 
     def _vanilla_chunk(params, latents, uncond_emb, cond_emb, motion_rep,
                        cn_params, cn_cond, xs):
-        _, vanilla_step = _make_steps(
+        _, vanilla_step, _, vanilla_approx = _make_steps(
             params, uncond_emb, cond_emb, motion_rep, cn_params, cn_cond
         )
-        latents, _ = jax.lax.scan(vanilla_step, latents, xs)
+        if uncond_interval > 1:
+            xs = tuple(xs) + (_refresh_flags(xs[0].shape[0]),)
+            (latents, _), _ = jax.lax.scan(
+                vanilla_approx, (latents, jnp.zeros_like(latents)), xs
+            )
+        else:
+            latents, _ = jax.lax.scan(vanilla_step, latents, xs)
         return latents
 
     if frame_shard_map is not None:
-        _chunk_specs = (_P(), _vid, _P(), _P(), _rep, _P(), _P(), _P())
+        _chunk_specs = (_P(), _vid, _emb, _emb, _rep, _P(), _cn_cond, _P())
         guided_chunk = _smap(_guided_chunk, _chunk_specs, _vid)
         vanilla_chunk = _smap(_vanilla_chunk, _chunk_specs, _vid)
     else:
@@ -571,6 +834,7 @@ def make_sampling_fns(
                cn_params=None, cn_cond=None, chunk_steps: int = 50,
                resume_path: Optional[str] = None, on_chunk=None,
                resume_tag: str = ""):
+        _check_smap_cn_cond(cn_cond)
         total = len(timesteps)
         fingerprint = np.asarray(timesteps, np.int32)
         steps_done = 0
@@ -643,6 +907,7 @@ def make_sampling_fns(
 
     def sample_plain(params, init_latents, uncond_emb, cond_emb,
                      cn_params=None, cn_cond=None, chunk_steps: int = 50):
+        _check_smap_cn_cond(cn_cond)
         latents = init_latents
         no_rep: MotionRep = {}
         n = len(ts_plain_j)
@@ -692,10 +957,10 @@ def make_sampling_fns(
 
     if frame_shard_map is not None:
         # probs stack per scan step: (steps, B, S, heads, f_local, f_global)
-        _probs_spec = _P(None, None, None, None, "frames", None)
+        _probs_spec = _P(None, _data, None, None, "frames", None)
         vanilla_probs_chunk = _smap(
             _vanilla_probs_chunk,
-            (_P(), _vid, _P(), _P(), _P(), _P(), _P()),
+            (_P(), _vid, _emb, _emb, _P(), _cn_cond, _P()),
             (_vid, _probs_spec),
         )
     else:
@@ -708,6 +973,7 @@ def make_sampling_fns(
         surface only: chunks stay short so the stacked prob maps (33 MB per
         module per step at 512²) never pile up on device — each chunk's maps
         are fetched to host before the next dispatch."""
+        _check_smap_cn_cond(cn_cond)
         latents = init_latents
         collected = []
         n = len(ts_plain_j)
@@ -761,8 +1027,10 @@ class MotionClonePipeline:
         attention_impl: str = "auto",
         controlnet_apply=None,
         cn_params=None,
+        cfg_pair_sharding=None,
         frame_sharding=None,
         frame_shard_map=None,
+        uncond_interval: int = 1,
     ):
         self.unet_cfg = unet_cfg
         self.sched_cfg = sched_cfg
@@ -779,8 +1047,10 @@ class MotionClonePipeline:
             dtype=dtype,
             attention_impl=attention_impl,
             controlnet_apply=controlnet_apply,
+            cfg_pair_sharding=cfg_pair_sharding,
             frame_sharding=frame_sharding,
             frame_shard_map=frame_shard_map,
+            uncond_interval=uncond_interval,
         )
         # latent placement: both frame-sharding flavors put the frame axis
         # of the (B, F, H, W, C) tensors on the mesh's ``frames`` axis

@@ -118,6 +118,8 @@ class MotionCloneRuntime:
         config_root: str = ".",
         frame_shard: int = 0,
         frame_shard_mode: str = "shardmap",
+        cfg_pair: bool = False,
+        uncond_interval: int = 1,
         weights_cache: str = "",
     ):
         """``frame_shard``: split the frame axis of every video tensor over
@@ -127,9 +129,20 @@ class MotionCloneRuntime:
 
         ``frame_shard_mode``: "shardmap" (default) runs every chip's local
         frames with the fused Pallas kernels and explicit temporal-attention
-        all_gathers (fastest; t2v only, needs inflated GroupNorm); "gspmd"
-        lets XLA partition a pure-XLA graph automatically (general: i2v /
-        controlnet supported).
+        all_gathers (fastest; t2v AND i2v/controlnet — the controlnet's own
+        temporal modules gather across the frame shards too; needs inflated
+        GroupNorm); "gspmd" lets XLA partition a pure-XLA graph
+        automatically (general fallback).
+
+        ``cfg_pair``: with ``frame_shard``, also split the classifier-free-
+        guidance pair over a second ``cfg`` mesh axis of size 2 — a
+        (cfg, frames) mesh using 2x frame_shard devices (the composed
+        single-video latency layout).
+
+        ``uncond_interval``: > 1 enables the OUTPUT-CHANGING cross-step
+        uncond cache (``--approx uncond-cache:K``): the unconditional UNet
+        forward refreshes every K steps and is reused in between.  Never on
+        by default (BASELINE.md parity requires the exact path).
 
         ``weights_cache``: directory for the converted-parameter cache
         (weights.cache) — the torch->flax conversion and merge pipeline runs
@@ -140,6 +153,13 @@ class MotionCloneRuntime:
         self.attention_impl = attention_impl
         self.frame_sharding = None
         self.frame_shard_map = None
+        self.cfg_pair_sharding = None
+        if cfg_pair and not frame_shard:
+            raise ValueError(
+                "cfg_pair composes with --frame-shard here; for CFG-pair "
+                "splitting without frame sharding use the sweep's "
+                "--cfg-pair (data, cfg) mode"
+            )
 
         model_config_path = os.path.join(config_root, infer_cfg.model_config)
         self.unet_cfg, self.sched_cfg = load_model_config(model_config_path)
@@ -165,11 +185,12 @@ class MotionCloneRuntime:
                     f"--frame-shard-mode must be 'shardmap' or 'gspmd', "
                     f"got {frame_shard_mode!r}"
                 )
-            mesh = make_mesh_video(frames=frame_shard)
+            mesh = make_mesh_video(
+                frames=frame_shard, cfg=2 if cfg_pair else 1
+            )
             unsupported = (
-                "controlnet workloads"
-                if infer_cfg.controlnet_path
-                else "" if self.unet_cfg.use_inflated_groupnorm
+                ""
+                if self.unet_cfg.use_inflated_groupnorm
                 else "global (non-inflated) GroupNorm statistics"
             )
             if frame_shard_mode == "shardmap" and not unsupported:
@@ -181,6 +202,12 @@ class MotionCloneRuntime:
                         f"{unsupported}; using gspmd"
                     )
                 self.frame_sharding = _frame_sharding(mesh)
+                if cfg_pair:
+                    from motionclone_tpu.parallel.mesh import (
+                        cfg_pair_sharding as _cfg_pair_sharding,
+                    )
+
+                    self.cfg_pair_sharding = _cfg_pair_sharding(mesh)
         self.vae_cfg = VAEConfig()
         self.clip_cfg = CLIPTextConfig()
 
@@ -315,7 +342,14 @@ class MotionCloneRuntime:
             ):
                 cn_impl = "chunked"
             cn_model = SparseControlNetModel(
-                cfg=self.cn_cfg, attention_impl=cn_impl, dtype=dtype
+                cfg=self.cn_cfg,
+                attention_impl=cn_impl,
+                # shard_map mode: the controlnet's temporal modules
+                # all_gather K/V across the frame shards like the UNet's
+                frames_axis=(
+                    "frames" if self.frame_shard_map is not None else None
+                ),
+                dtype=dtype,
             )
             controlnet_apply = make_controlnet_apply(cn_model)
 
@@ -356,8 +390,10 @@ class MotionCloneRuntime:
             attention_impl=attention_impl,
             controlnet_apply=controlnet_apply,
             cn_params=cn_params,
+            cfg_pair_sharding=self.cfg_pair_sharding,
             frame_sharding=self.frame_sharding,
             frame_shard_map=self.frame_shard_map,
+            uncond_interval=uncond_interval,
         )
 
         self._vae_encode = jax.jit(

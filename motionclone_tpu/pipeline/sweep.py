@@ -60,6 +60,7 @@ def run_sweep(
     num_devices: int = 0,
     cfg_pair: bool = False,
     frame_shard: int = 0,
+    frame_shard_mode: str = "gspmd",
     resume: bool = False,
 ) -> List[str]:
     """Run all examples data-parallel; returns written mp4 paths.
@@ -77,8 +78,12 @@ def run_sweep(
     there are more chips than pending examples.
 
     ``frame_shard``: additionally split every example's frame axis over
-    that many devices (a (data, frames) mesh, GSPMD mode) — examples per
-    batch = devices / frame_shard.  Mutually exclusive with ``cfg_pair``.
+    that many devices — examples per batch = devices / frame_shard.
+    ``frame_shard_mode`` picks the execution: "gspmd" (default; XLA
+    partitions a pure-XLA graph over a (data, frames) mesh) or "shardmap"
+    (fused Pallas kernels per chip with explicit temporal all_gathers over
+    a (data, [cfg,] frames) mesh — composes with ``cfg_pair``, which gspmd
+    mode does not).
 
     ``resume``: checkpoint each batch's sampling loop per chunk under
     ``output_dir``, keyed by a content hash of the batch's examples+seeds,
@@ -98,9 +103,12 @@ def run_sweep(
         # Pallas-free impls — run the plain data sweep instead
         print("frame_shard=1 is a no-op; running the plain data sweep")
         frame_shard = 0
-    if cfg_pair and frame_shard:
-        raise ValueError("cfg_pair and frame_shard sweeps do not compose yet")
-    if cfg_pair:
+    if cfg_pair and frame_shard and frame_shard_mode != "shardmap":
+        raise ValueError(
+            "cfg_pair composes with frame_shard only in shardmap mode "
+            "(a (data, cfg, frames) mesh); gspmd frame sharding does not"
+        )
+    if cfg_pair and not frame_shard:
         if n_dev < 2 or n_dev % 2:
             raise ValueError(f"cfg_pair needs an even device count, got {n_dev}")
         mesh = make_mesh_2d(data=n_dev // 2, cfg=2, devices=devices)
@@ -116,6 +124,58 @@ def run_sweep(
             controlnet_apply=runtime.pipeline.controlnet_apply,
         )
         n_dev = n_dev // 2  # examples per batch = data-axis size
+    elif frame_shard and frame_shard_mode == "shardmap":
+        # explicit-collective sweep: every chip keeps the fused Pallas
+        # kernels on its local frames; optional cfg axis splits each
+        # example's CFG pair too
+        per_ex_devices = frame_shard * (2 if cfg_pair else 1)
+        if frame_shard < 1 or cfg.video_length % frame_shard:
+            raise ValueError(
+                f"frame_shard {frame_shard} must be >= 1 and divide "
+                f"video_length={cfg.video_length}"
+            )
+        if n_dev % per_ex_devices:
+            raise ValueError(
+                f"frame_shard {frame_shard}"
+                + (" x cfg_pair (2)" if cfg_pair else "")
+                + f" must divide the device count {n_dev}"
+            )
+        from motionclone_tpu.parallel.mesh import make_mesh_sweep
+        from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+
+        mesh = make_mesh_sweep(
+            data=n_dev // per_ex_devices,
+            cfg=2 if cfg_pair else 1,
+            frames=frame_shard,
+            devices=devices,
+        )
+        cn_apply = runtime.pipeline.controlnet_apply
+        if cn_apply is not None and (
+            getattr(cn_apply, "frames_axis", None) != "frames"
+        ):
+            # the controlnet's temporal modules must all_gather K/V across
+            # the frame shards: rebuild with frames_axis (same params)
+            from motionclone_tpu.models.sparse_controlnet import (
+                SparseControlNetModel,
+            )
+            from motionclone_tpu.pipeline.motionclone import (
+                make_controlnet_apply,
+            )
+
+            cn_apply = make_controlnet_apply(SparseControlNetModel(
+                cfg=runtime.cn_cfg, attention_impl=runtime.attention_impl,
+                frames_axis="frames", dtype=runtime.dtype,
+            ))
+        fns = make_sampling_fns(
+            runtime.unet_cfg,
+            runtime.sched_cfg,
+            runtime.infer_cfg,
+            dtype=runtime.dtype,
+            attention_impl=runtime.attention_impl,
+            frame_shard_map=mesh,
+            controlnet_apply=cn_apply,
+        )
+        n_dev = n_dev // per_ex_devices
     elif frame_shard:
         if frame_shard < 1 or cfg.video_length % frame_shard:
             raise ValueError(

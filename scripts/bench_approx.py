@@ -1,0 +1,120 @@
+"""Benchmark the opt-in --approx uncond-cache mode (separate metric line).
+
+Same workload as bench.py (t2v_camera 512x512x16f, 100 steps / 50 guided,
+random bf16 weights) but with the cross-step uncond cache enabled
+(``uncond_interval`` = K, default 3).  The default bench.py path stays
+exact — this is the output-changing speed mode VERDICT round 1 asked to
+bench separately.
+
+    python scripts/bench_approx.py [K]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from motionclone_tpu.config import (  # noqa: E402
+    InferenceConfig,
+    NoiseScheduleConfig,
+    UNet3DConfig,
+)
+from motionclone_tpu.models.unet3d import UNet3DConditionModel  # noqa: E402
+from motionclone_tpu.models.vae import AutoencoderKL, VAEConfig  # noqa: E402
+from motionclone_tpu.pipeline.motionclone import make_sampling_fns  # noqa: E402
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+TARGET_SECONDS = 30.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    unet_cfg = UNet3DConfig()
+    infer_cfg = InferenceConfig(
+        inference_steps=100, guidance_steps=50, guidance_fraction=0.3,
+        warm_up_steps=10, cool_up_steps=10, motion_guidance_weight=2000.0,
+        motion_guidance_blocks=("up_blocks.1",), width=512, height=512,
+        video_length=16, cfg_scale=7.5,
+    )
+    dtype = jnp.bfloat16
+    B, F = 1, infer_cfg.video_length
+    H = W = infer_cfg.height // 8
+
+    log(f"devices: {jax.devices()}; uncond-cache K={K}")
+    model = UNet3DConditionModel(
+        cfg=unet_cfg, guidance_blocks=("up_blocks.1",), dtype=dtype
+    )
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, F, H, W, 4), dtype),
+        jnp.array([1]), jnp.zeros((B, 77, 768), dtype)))()
+    jax.block_until_ready(params)
+
+    vae = AutoencoderKL(cfg=VAEConfig(), dtype=dtype)
+    vae_params = jax.jit(lambda: vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 1, 64, 64, 3), dtype)))()
+
+    def _decode_uint8(p, z):
+        video = vae.apply(p, z, method=vae.decode)
+        video01 = jnp.clip(video.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        return jnp.round(video01 * 255.0).astype(jnp.uint8)
+
+    decode = jax.jit(_decode_uint8)
+    fns = make_sampling_fns(
+        unet_cfg, NoiseScheduleConfig(), infer_cfg, dtype=dtype,
+        uncond_interval=K,
+    )
+
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    uncond = jnp.asarray(rng.normal(size=(B, 77, 768)), jnp.float32).astype(dtype)
+    cond = jnp.asarray(rng.normal(size=(B, 77, 768)), jnp.float32).astype(dtype)
+    s_hw = 16 * 16
+    rep = {}
+    for m in range(3):
+        for a in range(2):
+            name = (f"up_blocks.1.motion_modules.{m}.temporal_transformer"
+                    f".transformer_blocks.0.attention_blocks.{a}")
+            rep[name] = (
+                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, 8, F, 1)),
+                            jnp.float32),
+                jnp.asarray(rng.integers(0, F, size=(B, s_hw, 8, F, 1)),
+                            np.uint8),
+            )
+
+    t0 = time.time()
+    out = fns.sample(params, latents, uncond, cond, rep, None, None)
+    frames = decode(vae_params, out.astype(dtype))
+    jax.block_until_ready(frames)
+    log(f"compile+first run: {time.time()-t0:.0f}s")
+
+    latents2 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    t0 = time.time()
+    out = fns.sample(params, latents2, uncond, cond, rep, None, None)
+    frames = decode(vae_params, out.astype(dtype))
+    np.asarray(frames)
+    elapsed = time.time() - t0
+    log(f"approx sampling: {elapsed:.2f}s/video")
+
+    print(json.dumps({
+        "metric": f"sec_per_video_t2v_camera_512x512x16f_approx_uncond{K}",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(TARGET_SECONDS / elapsed, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -542,3 +542,117 @@ def test_sweep_cfg_pair_validates_device_count(tmp_path):
         run_sweep(dummy_f, [], num_devices=6, frame_shard=3, **common)
     with pytest.raises(ValueError, match="divide the device count"):
         run_sweep(dummy_f, [], num_devices=5, frame_shard=2, **common)
+
+
+def test_frame_shard_map_cfg_pair_matches_unsharded():
+    """Composed shard_map layout: a ('cfg'=2, 'frames') mesh splits the CFG
+    pair across cfg groups (masked-psum pair steps) AND the frame axis
+    within each group — must reproduce the unsharded serial result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from motionclone_tpu.parallel.mesh import make_mesh_video
+
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _tiny_setup(1, seed=11)
+    )
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    )
+    ref = np.asarray(
+        fns_ref.sample(params, latents, uncond, cond, rep, None, None)
+    )
+
+    mesh = make_mesh_video(frames=F, cfg=2)  # 2 x 4 devices
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        frame_shard_map=mesh,
+    )
+    fsh = NamedSharding(mesh, P(None, "frames"))
+    p = shard_params(params, mesh)
+    with mesh:
+        out = fns.sample(
+            p, jax.device_put(latents, fsh), uncond, cond, rep, None, None
+        )
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+    # extraction under the composed mesh (cfg groups replicate it)
+    noise = jnp.asarray(
+        np.random.default_rng(12).normal(size=latents.shape), jnp.float32
+    )
+    rep_ref = fns_ref.extract(params, latents, noise, uncond, None, None)
+    with mesh:
+        rep_sh = fns.extract(
+            p, jax.device_put(latents, fsh), jax.device_put(noise, fsh),
+            uncond, None, None,
+        )
+    for k in rep_ref:
+        np.testing.assert_allclose(
+            np.asarray(rep_sh[k][0]), np.asarray(rep_ref[k][0]),
+            atol=2e-5, rtol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rep_sh[k][1]), np.asarray(rep_ref[k][1])
+        )
+
+
+def test_frame_shard_map_rejects_wide_cfg_axis():
+    import pytest
+
+    from motionclone_tpu.parallel.mesh import make_mesh_video
+
+    unet_cfg, sched_cfg, infer_cfg, *_ = _tiny_setup(1, seed=0)
+    with pytest.raises(ValueError, match="size 1 or 2"):
+        make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg,
+            frame_shard_map=make_mesh_video(frames=2, cfg=4),
+        )
+
+
+def test_frame_shard_map_data_axis_matches_unsharded():
+    """shard_map sweep layout: a ('data', 'cfg', 'frames') mesh shards the
+    example batch over 'data' (and optionally the CFG pair + frames) —
+    both the (2-data x 4-frames) and the fully composed
+    (2-data x 2-cfg x 2-frames) layouts must reproduce the plain batched
+    result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from motionclone_tpu.parallel.mesh import make_mesh_sweep
+
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _tiny_setup(2, seed=16, guidance_steps=1, cool_up_steps=0)
+    )
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False
+    )
+    ref = np.asarray(
+        fns_ref.sample(params, latents, uncond, cond, rep, None, None)
+    )
+
+    for layout in ((2, 1, 4), (2, 2, 2)):
+        data, cfgx, frames = layout
+        mesh = make_mesh_sweep(data=data, cfg=cfgx, frames=frames)
+        fns = make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+            remat_guided=False, frame_shard_map=mesh,
+        )
+        vsh = NamedSharding(mesh, P("data", "frames"))
+        esh = NamedSharding(mesh, P("data"))
+        p = shard_params(params, mesh)
+        rep_sh = {
+            k: (jax.device_put(v, esh), jax.device_put(ix, esh))
+            for k, (v, ix) in rep.items()
+        }
+        with mesh:
+            out = fns.sample(
+                p, jax.device_put(latents, vsh),
+                jax.device_put(uncond, esh), jax.device_put(cond, esh),
+                rep_sh, None, None,
+            )
+            out.block_until_ready()
+        np.testing.assert_allclose(
+            np.asarray(out), ref, atol=2e-4, rtol=1e-3,
+            err_msg=f"layout {layout}",
+        )

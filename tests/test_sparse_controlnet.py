@@ -335,3 +335,120 @@ def test_i2v_frame_sharded_matches_unsharded():
         )
         out.block_until_ready()
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_i2v_frame_shard_map_matches_unsharded():
+    """The shard_map frame-sharding path now supports controlnet workloads:
+    the SparseControlNet built with frames_axis='frames' gathers its own
+    temporal K/V across the frame shards, and both extraction and guided
+    sampling reproduce the unsharded i2v result."""
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from motionclone_tpu.parallel.mesh import make_mesh_video, shard_params
+    from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+
+    (unet_cfg, cn_cfg, sched_cfg, infer_cfg, unet_params, cn_model,
+     cn_params, latents, uncond, cond_emb, frames, rep) = _i2v_setup(B, seed=13)
+    cn_cond_t, cn_mask = scatter_condition(frames, (0,), F)
+    cn_cond = (cn_cond_t, cn_mask, 1.0)
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        controlnet_apply=make_controlnet_apply(cn_model),
+    )
+    noise = jnp.asarray(
+        np.random.default_rng(14).normal(size=latents.shape), jnp.float32
+    )
+    rep_ref = fns_ref.extract(unet_params, latents, noise, uncond,
+                              cn_params, cn_cond)
+    ref = np.asarray(
+        fns_ref.sample(unet_params, latents, uncond, cond_emb, rep,
+                       cn_params, cn_cond)
+    )
+
+    mesh = make_mesh_video(frames=F)
+    # a controlnet without frame-shard collectives is rejected
+    with pytest.raises(ValueError, match="frames_axis"):
+        make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+            controlnet_apply=make_controlnet_apply(cn_model),
+            frame_shard_map=mesh,
+        )
+    cn_sharded = SparseControlNetModel(cfg=cn_cfg, frames_axis="frames")
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        controlnet_apply=make_controlnet_apply(cn_sharded),
+        frame_shard_map=mesh,
+    )
+    fsh = NamedSharding(mesh, P(None, "frames"))
+    p = shard_params(unet_params, mesh)
+    cn_p = shard_params(cn_params, mesh)
+    cn_cond_sh = (
+        jax.device_put(cn_cond_t, fsh), jax.device_put(cn_mask, fsh), 1.0
+    )
+    with mesh:
+        rep_sh = fns.extract(
+            p, jax.device_put(latents, fsh), jax.device_put(noise, fsh),
+            uncond, cn_p, cn_cond_sh,
+        )
+        out = fns.sample(
+            p, jax.device_put(latents, fsh), uncond, cond_emb, rep,
+            cn_p, cn_cond_sh,
+        )
+        out.block_until_ready()
+    for k in rep_ref:
+        np.testing.assert_allclose(
+            np.asarray(rep_sh[k][0]), np.asarray(rep_ref[k][0]),
+            atol=2e-5, rtol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rep_sh[k][1]), np.asarray(rep_ref[k][1])
+        )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+    # per-call None conditioning cannot flow through the fixed in_specs
+    with pytest.raises(ValueError, match="cn_cond"):
+        fns.sample(p, latents, uncond, cond_emb, rep, cn_p, None)
+
+
+def test_i2v_frame_shard_map_cfg_pair_matches_unsharded():
+    """Fully composed single-video layout: ('cfg'=2, 'frames'=2) shard_map
+    mesh with a frame-sharded controlnet reproduces the unsharded i2v
+    result (CFG halves on separate cfg groups, frames split within)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from motionclone_tpu.parallel.mesh import make_mesh_video, shard_params
+    from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+
+    (unet_cfg, cn_cfg, sched_cfg, infer_cfg, unet_params, cn_model,
+     cn_params, latents, uncond, cond_emb, frames, rep) = _i2v_setup(B, seed=15)
+    cn_cond_t, cn_mask = scatter_condition(frames, (0,), F)
+    cn_cond = (cn_cond_t, cn_mask, 1.0)
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        controlnet_apply=make_controlnet_apply(cn_model),
+    )
+    ref = np.asarray(
+        fns_ref.sample(unet_params, latents, uncond, cond_emb, rep,
+                       cn_params, cn_cond)
+    )
+
+    mesh = make_mesh_video(frames=2, cfg=2)  # 4 devices, 2 local frames
+    cn_sharded = SparseControlNetModel(cfg=cn_cfg, frames_axis="frames")
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        controlnet_apply=make_controlnet_apply(cn_sharded),
+        frame_shard_map=mesh,
+    )
+    fsh = NamedSharding(mesh, P(None, "frames"))
+    with mesh:
+        out = fns.sample(
+            shard_params(unet_params, mesh),
+            jax.device_put(latents, fsh), uncond, cond_emb, rep,
+            shard_params(cn_params, mesh),
+            (jax.device_put(cn_cond_t, fsh), jax.device_put(cn_mask, fsh), 1.0),
+        )
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)

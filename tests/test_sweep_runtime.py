@@ -148,3 +148,61 @@ def test_run_sweep_end_to_end_with_rep_cache(tmp_path):
     assert calls == []  # cache hit -> no VAE encode
     with open(outs[0], "rb") as a, open(outs2[0], "rb") as b:
         assert a.read() == b.read()
+
+
+def test_run_sweep_shardmap_mode(tmp_path):
+    """frame_shard_mode='shardmap' sweeps: a (data, [cfg,] frames) shard_map
+    mesh carries the batched examples end to end (orchestration smoke; the
+    numerical parity of the data-axis shard_map lives in test_parallel)."""
+    rng_np = np.random.default_rng(1)
+    examples = []
+    for i in range(2):
+        frames = rng_np.integers(0, 255, size=(6, H * 8, W * 8, 3), dtype=np.uint8)
+        src = str(tmp_path / f"vid{i}.mp4")
+        write_video(src, frames, fps=8)
+        examples.append(
+            Example(video_path=f"vid{i}.mp4", new_prompt=f"prompt {i}", seed=i)
+        )
+
+    rt = _stub_runtime()
+    # 2 examples x 2 frame shards = 4 devices
+    outs = run_sweep(
+        rt, examples,
+        motion_rep_dir=str(tmp_path / "reps"),
+        output_dir=str(tmp_path / "out"),
+        config_root=str(tmp_path),
+        num_devices=4,
+        frame_shard=2,
+        frame_shard_mode="shardmap",
+    )
+    assert len(outs) == 2
+    for p in outs:
+        assert os.path.getsize(p) > 0
+
+    # composed with cfg_pair: 1 example x 2 cfg x 2 frames = 4 devices
+    outs2 = run_sweep(
+        rt, examples,
+        motion_rep_dir=str(tmp_path / "reps"),
+        output_dir=str(tmp_path / "out2"),
+        config_root=str(tmp_path),
+        num_devices=4,
+        frame_shard=2,
+        frame_shard_mode="shardmap",
+        cfg_pair=True,
+    )
+    assert len(outs2) == 2
+
+    # gspmd mode still refuses the composition
+    import pytest
+
+    with pytest.raises(ValueError, match="shardmap"):
+        run_sweep(
+            rt, examples,
+            motion_rep_dir=str(tmp_path / "reps"),
+            output_dir=str(tmp_path / "out3"),
+            config_root=str(tmp_path),
+            num_devices=4,
+            frame_shard=2,
+            frame_shard_mode="gspmd",
+            cfg_pair=True,
+        )
