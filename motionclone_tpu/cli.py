@@ -107,7 +107,11 @@ def build_parser(
         "'uncond-cache[:K]': cross-step cache — refresh the unconditional "
         "UNet forward every K steps (default 3) and reuse the cached "
         "prediction in between (the conditional pass and motion guidance "
-        "stay exact)",
+        "stay exact). 'guidance-cache[:K]': refresh the motion-guidance "
+        "gradient (the cond fwd+bwd) every K guided steps (default 2); in "
+        "between a plain conditional forward supplies the CFG term and the "
+        "cached gradient is re-applied with the current ramp. Combine "
+        "with a comma: 'uncond-cache:3,guidance-cache:2'",
     )
     parser.add_argument(
         "--weights-cache",
@@ -121,19 +125,31 @@ def build_parser(
     return parser
 
 
-def parse_approx(spec: str) -> int:
-    """'--approx uncond-cache[:K]' -> the uncond refresh interval K."""
+_APPROX_DEFAULTS = {"uncond-cache": 3, "guidance-cache": 2}
+
+
+def parse_approx(spec: str) -> tuple:
+    """'--approx MODE[:K][,MODE[:K]]' -> (uncond_interval, guidance_interval).
+
+    Modes: ``uncond-cache`` (cross-step uncond-prediction cache) and
+    ``guidance-cache`` (cross-step motion-guidance-gradient cache); an
+    interval of 1 means that cache is off.
+    """
+    intervals = {"uncond-cache": 1, "guidance-cache": 1}
     if not spec:
-        return 1
-    name, _, k = spec.partition(":")
-    if name != "uncond-cache":
-        raise SystemExit(
-            f"unknown --approx mode {name!r} (supported: uncond-cache[:K])"
-        )
-    interval = int(k) if k else 3
-    if interval < 2:
-        raise SystemExit("--approx uncond-cache:K needs K >= 2")
-    return interval
+        return 1, 1
+    for part in spec.split(","):
+        name, _, k = part.strip().partition(":")
+        if name not in _APPROX_DEFAULTS:
+            raise SystemExit(
+                f"unknown --approx mode {name!r} (supported: "
+                f"uncond-cache[:K], guidance-cache[:K])"
+            )
+        interval = int(k) if k else _APPROX_DEFAULTS[name]
+        if interval < 2:
+            raise SystemExit(f"--approx {name}:K needs K >= 2")
+        intervals[name] = interval
+    return intervals["uncond-cache"], intervals["guidance-cache"]
 
 
 def _setup(args, cfg=None):
@@ -149,6 +165,7 @@ def _setup(args, cfg=None):
             args.inference_config, width=args.W, height=args.H,
             video_length=args.L,
         )
+    uncond_k, guidance_k = parse_approx(getattr(args, "approx", ""))
     os.makedirs(args.generated_videos_save_dir, exist_ok=True)
     with open(
         os.path.join(args.generated_videos_save_dir, "inference_config.json"), "w"
@@ -163,7 +180,8 @@ def _setup(args, cfg=None):
         frame_shard=args.frame_shard,
         frame_shard_mode=args.frame_shard_mode,
         cfg_pair=getattr(args, "cfg_pair", False),
-        uncond_interval=parse_approx(getattr(args, "approx", "")),
+        uncond_interval=uncond_k,
+        guidance_interval=guidance_k,
         weights_cache=args.weights_cache,
     )
     return cfg, runtime

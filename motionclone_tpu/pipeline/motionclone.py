@@ -123,6 +123,7 @@ def make_sampling_fns(
     frame_sharding=None,
     frame_shard_map=None,
     uncond_interval: int = 1,
+    guidance_interval: int = 1,
 ) -> SamplingFns:
     """Build the jitted extract/sample functions for one workload config.
 
@@ -213,16 +214,28 @@ def make_sampling_fns(
         frame_shard_map is not None
         and dict(frame_shard_map.shape).get("cfg", 1) == 2
     )
-    # --approx cross-step uncond cache: the unconditional UNet forward
-    # refreshes every ``uncond_interval`` steps and the cached prediction is
-    # reused in between (the conditional pass — and with it the motion
-    # guidance — stays exact).  OUTPUT-CHANGING: opt-in only, never the
-    # default path (BASELINE.md parity forbids it there).
+    # --approx cross-step caches (OUTPUT-CHANGING: opt-in only, never the
+    # default path — BASELINE.md parity forbids it there):
+    # * uncond_interval > 1: the unconditional UNet forward refreshes every
+    #   K steps and the cached prediction is reused in between (both
+    #   phases; the conditional pass stays exact);
+    # * guidance_interval > 1: the motion-guidance gradient (the expensive
+    #   cond fwd+bwd) refreshes every K guided steps; in between a plain
+    #   (fused-kernel) conditional forward supplies the CFG term and the
+    #   cached RAW gradient is re-applied with the current step's
+    #   warm-up/cool-down ramp.
+    # Both intervals are runtime data (per-step refresh flags in the scan
+    # xs), so one compiled approx executable serves every (K_u, K_g).
     if uncond_interval < 1:
         raise ValueError(f"uncond_interval must be >= 1, got {uncond_interval}")
-    if uncond_interval > 1 and (cfg_pair_sharding is not None or smap_cfg_pair):
+    if guidance_interval < 1:
         raise ValueError(
-            "the uncond cache (--approx) does not compose with CFG-pair "
+            f"guidance_interval must be >= 1, got {guidance_interval}"
+        )
+    approx_guided = uncond_interval > 1 or guidance_interval > 1
+    if approx_guided and (cfg_pair_sharding is not None or smap_cfg_pair):
+        raise ValueError(
+            "the cross-step caches (--approx) do not compose with CFG-pair "
             "splitting: the pair formulations evaluate both halves jointly"
         )
 
@@ -682,17 +695,18 @@ def make_sampling_fns(
             return frame_constrain(new_latents), jnp.zeros(())
 
         def guided_step_approx(carry, step):
-            """Guided step with the cross-step uncond cache: carry is
-            (latents, cached uncond prediction); ``refresh`` (a per-step
-            scan input) decides between a fresh unconditional forward and
-            the cached one.  The conditional fwd+bwd — the motion guidance
-            — stays exact; only the CFG base is approximated."""
-            latents, prev_u = carry
-            t, tp, ramp, refresh = step
+            """Guided step with the cross-step caches: carry is (latents,
+            cached uncond prediction, cached raw guidance gradient); the
+            per-step scan inputs ``refresh_u`` / ``refresh_g`` decide
+            between fresh work and the caches.  With all flags True this
+            computes the exact step's math (what lets one executable serve
+            every interval, including 1)."""
+            latents, prev_u, prev_g = carry
+            t, tp, ramp, refresh_u, refresh_g = step
             latents = frame_constrain(latents)
             cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
 
-            def fresh(operand):
+            def fresh_u(operand):
                 lat, _ = operand
                 up, _ = plain_unet.apply(
                     params,
@@ -705,17 +719,43 @@ def make_sampling_fns(
                 return up
 
             uncond_pred = jax.lax.cond(
-                refresh, fresh, lambda op: op[1], (latents, prev_u)
+                refresh_u, fresh_u, lambda op: op[1], (latents, prev_u)
             )
-            (loss, cond_pred), grad = grad_fn(
-                params, latents, t, cond_emb, motion_rep, cn_c
+
+            def fresh_g(operand):
+                lat, _ = operand
+                (loss, cond_pred), raw = grad_fn(
+                    params, lat, t, cond_emb, motion_rep, cn_c
+                )
+                return cond_pred, raw, loss.astype(jnp.float32)
+
+            def stale_g(operand):
+                # cond_pred is still needed every step (it is the CFG
+                # base); a plain fused forward supplies it while the raw
+                # gradient comes from the cache
+                lat, pg = operand
+                cond_pred, _ = plain_unet.apply(
+                    params,
+                    lat,
+                    t,
+                    cond_emb,
+                    down_block_residuals=cn_c[0],
+                    mid_block_residual=cn_c[1],
+                )
+                return cond_pred, pg, jnp.zeros((), jnp.float32)
+
+            cond_pred, raw_grad, loss = jax.lax.cond(
+                refresh_g, fresh_g, stale_g, (latents, prev_g)
             )
-            grad = grad * ramp
+            grad = raw_grad * ramp
             noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
             new_latents = ddim_step(
                 ddim, noise_pred, t, tp, latents, score=grad, guidance_scale=1.0
             )
-            return (frame_constrain(new_latents), uncond_pred), loss
+            return (
+                (frame_constrain(new_latents), uncond_pred, raw_grad),
+                loss,
+            )
 
         def vanilla_step_approx(carry, step):
             """Vanilla CFG step with the uncond cache: on refresh steps the
@@ -774,21 +814,28 @@ def make_sampling_fns(
             return guided_step_smap_pair, vanilla_step_smap_pair, None, None
         return guided_step, vanilla_step, guided_step_approx, vanilla_step_approx
 
-    def _refresh_flags(n):
+    def _refresh_flags(n, k):
         # per-chunk refresh schedule: step 0 of every chunk refreshes (the
-        # cache cannot cross chunk-dispatch boundaries), then every
-        # uncond_interval-th step
-        return (jnp.arange(n) % uncond_interval) == 0
+        # cache is zero-initialized per dispatch, so chunks stay
+        # self-contained — this is also what keeps --resume exact), then
+        # every k-th step.  Host-computed runtime data appended to the scan
+        # xs: ONE compiled approx executable serves every interval k.
+        return jnp.asarray((np.arange(n) % k) == 0)
 
     def _guided_chunk(params, latents, uncond_emb, cond_emb, motion_rep,
                       cn_params, cn_cond, xs):
         guided_step, _, guided_approx, _ = _make_steps(
             params, uncond_emb, cond_emb, motion_rep, cn_params, cn_cond
         )
-        if uncond_interval > 1:
-            xs = tuple(xs) + (_refresh_flags(xs[0].shape[0]),)
-            (latents, _), _ = jax.lax.scan(
-                guided_approx, (latents, jnp.zeros_like(latents)), xs
+        if approx_guided:
+            # approx mode: callers append the per-step (refresh_u,
+            # refresh_g) flags to xs; the caches are zero-initialized per
+            # dispatch and flags[0] is always True, so chunks stay
+            # self-contained (--resume stays well-defined)
+            (latents, _, _), _ = jax.lax.scan(
+                guided_approx,
+                (latents, jnp.zeros_like(latents), jnp.zeros_like(latents)),
+                xs,
             )
         else:
             latents, _ = jax.lax.scan(guided_step, latents, xs)
@@ -800,7 +847,6 @@ def make_sampling_fns(
             params, uncond_emb, cond_emb, motion_rep, cn_params, cn_cond
         )
         if uncond_interval > 1:
-            xs = tuple(xs) + (_refresh_flags(xs[0].shape[0]),)
             (latents, _), _ = jax.lax.scan(
                 vanilla_approx, (latents, jnp.zeros_like(latents)), xs
             )
@@ -833,8 +879,33 @@ def make_sampling_fns(
     def sample(params, init_latents, uncond_emb, cond_emb, motion_rep,
                cn_params=None, cn_cond=None, chunk_steps: int = 50,
                resume_path: Optional[str] = None, on_chunk=None,
-               resume_tag: str = ""):
+               resume_tag: str = "", uncond_refresh: Optional[int] = None,
+               guidance_refresh: Optional[int] = None):
         _check_smap_cn_cond(cn_cond)
+        # ``uncond_refresh`` / ``guidance_refresh`` override the build-time
+        # refresh intervals at dispatch time (the flags are runtime scan
+        # inputs, so no recompile — scripts/bench_approx.py sweeps the
+        # (K_u, K_g) grid through one executable)
+        k_refresh = uncond_interval if uncond_refresh is None else uncond_refresh
+        g_refresh = (
+            guidance_interval if guidance_refresh is None else guidance_refresh
+        )
+        if uncond_refresh is not None and uncond_interval == 1:
+            raise ValueError(
+                "uncond_refresh needs the approx executables: build "
+                "make_sampling_fns(..., uncond_interval>1)"
+            )
+        if guidance_refresh is not None and guidance_interval == 1:
+            raise ValueError(
+                "guidance_refresh needs the approx executables: build "
+                "make_sampling_fns(..., guidance_interval>1)"
+            )
+        if k_refresh < 1:
+            raise ValueError(f"uncond_refresh must be >= 1, got {k_refresh}")
+        if g_refresh < 1:
+            raise ValueError(
+                f"guidance_refresh must be >= 1, got {g_refresh}"
+            )
         total = len(timesteps)
         fingerprint = np.asarray(timesteps, np.int32)
         steps_done = 0
@@ -856,16 +927,25 @@ def make_sampling_fns(
                 )
 
         phases = (
-            ((ts_guided, tp_guided, ramps_guided), guided_chunk),
-            ((ts_vanilla, tp_vanilla), vanilla_chunk),
+            ((ts_guided, tp_guided, ramps_guided), guided_chunk, True),
+            ((ts_vanilla, tp_vanilla), vanilla_chunk, False),
         )
         offset = 0
-        for arrays, chunk_fn in phases:
+        for arrays, chunk_fn, is_guided in phases:
             n, lo = len(arrays[0]), 0
             while lo < n:
                 size = min(chunk_steps, n - lo)
                 if offset + size > steps_done:  # not already checkpointed
                     xs = tuple(a[lo : lo + size] for a in arrays)
+                    if is_guided and approx_guided:
+                        xs = xs + (
+                            _refresh_flags(size, k_refresh),
+                            _refresh_flags(size, g_refresh),
+                        )
+                    elif not is_guided and uncond_interval > 1:
+                        # the guidance cache is a guided-phase concept; the
+                        # vanilla phase only ever caches the uncond forward
+                        xs = xs + (_refresh_flags(size, k_refresh),)
                     latents = chunk_fn(
                         params, latents, uncond_emb, cond_emb, motion_rep,
                         cn_params, cn_cond, xs,
@@ -915,6 +995,8 @@ def make_sampling_fns(
         while lo < n:
             size = min(chunk_steps, n - lo)
             xs = (ts_plain_j[lo : lo + size], tp_plain_j[lo : lo + size])
+            if uncond_interval > 1:
+                xs = xs + (_refresh_flags(size, uncond_interval),)
             latents = vanilla_chunk(
                 params, latents, uncond_emb, cond_emb, no_rep,
                 cn_params, cn_cond, xs,
@@ -1031,6 +1113,7 @@ class MotionClonePipeline:
         frame_sharding=None,
         frame_shard_map=None,
         uncond_interval: int = 1,
+        guidance_interval: int = 1,
     ):
         self.unet_cfg = unet_cfg
         self.sched_cfg = sched_cfg
@@ -1051,6 +1134,7 @@ class MotionClonePipeline:
             frame_sharding=frame_sharding,
             frame_shard_map=frame_shard_map,
             uncond_interval=uncond_interval,
+            guidance_interval=guidance_interval,
         )
         # latent placement: both frame-sharding flavors put the frame axis
         # of the (B, F, H, W, C) tensors on the mesh's ``frames`` axis

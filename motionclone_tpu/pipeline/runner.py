@@ -120,6 +120,7 @@ class MotionCloneRuntime:
         frame_shard_mode: str = "shardmap",
         cfg_pair: bool = False,
         uncond_interval: int = 1,
+        guidance_interval: int = 1,
         weights_cache: str = "",
     ):
         """``frame_shard``: split the frame axis of every video tensor over
@@ -141,8 +142,13 @@ class MotionCloneRuntime:
 
         ``uncond_interval``: > 1 enables the OUTPUT-CHANGING cross-step
         uncond cache (``--approx uncond-cache:K``): the unconditional UNet
-        forward refreshes every K steps and is reused in between.  Never on
-        by default (BASELINE.md parity requires the exact path).
+        forward refreshes every K steps and is reused in between.
+        ``guidance_interval``: > 1 enables the OUTPUT-CHANGING cross-step
+        guidance-gradient cache (``--approx guidance-cache:K``): the motion
+        guidance's cond fwd+bwd refreshes every K guided steps; in between
+        a plain conditional forward supplies the CFG term and the cached
+        raw gradient is re-applied with the current ramp.  Neither is ever
+        on by default (BASELINE.md parity requires the exact path).
 
         ``weights_cache``: directory for the converted-parameter cache
         (weights.cache) — the torch->flax conversion and merge pipeline runs
@@ -394,6 +400,7 @@ class MotionCloneRuntime:
             frame_sharding=self.frame_sharding,
             frame_shard_map=self.frame_shard_map,
             uncond_interval=uncond_interval,
+            guidance_interval=guidance_interval,
         )
 
         self._vae_encode = jax.jit(

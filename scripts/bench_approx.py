@@ -1,12 +1,15 @@
 """Benchmark the opt-in --approx uncond-cache mode (separate metric line).
 
 Same workload as bench.py (t2v_camera 512x512x16f, 100 steps / 50 guided,
-random bf16 weights) but with the cross-step uncond cache enabled
-(``uncond_interval`` = K, default 3).  The default bench.py path stays
-exact — this is the output-changing speed mode VERDICT round 1 asked to
-bench separately.
+random bf16 weights) but with the cross-step caches enabled: the uncond
+cache (refresh the unconditional forward every K_u steps) and the
+guidance cache (refresh the motion-guidance grad every K_g guided steps).
+The default bench.py path stays exact — this is the output-changing speed
+mode VERDICT round 1 asked to bench separately.  The refresh intervals
+are runtime scan inputs, so every (K_u, K_g) point shares ONE compiled
+executable and the whole grid sweeps in-process.
 
-    python scripts/bench_approx.py [K]
+    python scripts/bench_approx.py [KU:KG ...]   (default: 3:1 5:1 3:2 5:2)
 """
 
 import json
@@ -33,7 +36,12 @@ from motionclone_tpu.models.unet3d import UNet3DConditionModel  # noqa: E402
 from motionclone_tpu.models.vae import AutoencoderKL, VAEConfig  # noqa: E402
 from motionclone_tpu.pipeline.motionclone import make_sampling_fns  # noqa: E402
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+def _parse(a):
+    ku, _, kg = a.partition(":")
+    return int(ku), int(kg) if kg else 1
+
+
+KS = [_parse(a) for a in sys.argv[1:]] or [(3, 1), (5, 1), (3, 2), (5, 2)]
 TARGET_SECONDS = 30.0
 
 
@@ -53,7 +61,7 @@ def main():
     B, F = 1, infer_cfg.video_length
     H = W = infer_cfg.height // 8
 
-    log(f"devices: {jax.devices()}; uncond-cache K={K}")
+    log(f"devices: {jax.devices()}; (K_uncond, K_guidance) sweep {KS}")
     model = UNet3DConditionModel(
         cfg=unet_cfg, guidance_blocks=("up_blocks.1",), dtype=dtype
     )
@@ -72,9 +80,12 @@ def main():
         return jnp.round(video01 * 255.0).astype(jnp.uint8)
 
     decode = jax.jit(_decode_uint8)
+    # intervals > 1 select the approx executables; the actual refresh
+    # intervals are per-dispatch runtime inputs (uncond_refresh /
+    # guidance_refresh below)
     fns = make_sampling_fns(
         unet_cfg, NoiseScheduleConfig(), infer_cfg, dtype=dtype,
-        uncond_interval=K,
+        uncond_interval=2, guidance_interval=2,
     )
 
     rng = np.random.default_rng(0)
@@ -95,25 +106,33 @@ def main():
             )
 
     t0 = time.time()
-    out = fns.sample(params, latents, uncond, cond, rep, None, None)
+    ku0, kg0 = KS[0]
+    out = fns.sample(params, latents, uncond, cond, rep, None, None,
+                     uncond_refresh=ku0, guidance_refresh=kg0)
     frames = decode(vae_params, out.astype(dtype))
     jax.block_until_ready(frames)
     log(f"compile+first run: {time.time()-t0:.0f}s")
 
-    latents2 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
-    t0 = time.time()
-    out = fns.sample(params, latents2, uncond, cond, rep, None, None)
-    frames = decode(vae_params, out.astype(dtype))
-    np.asarray(frames)
-    elapsed = time.time() - t0
-    log(f"approx sampling: {elapsed:.2f}s/video")
-
-    print(json.dumps({
-        "metric": f"sec_per_video_t2v_camera_512x512x16f_approx_uncond{K}",
-        "value": round(elapsed, 3),
-        "unit": "s",
-        "vs_baseline": round(TARGET_SECONDS / elapsed, 3),
-    }))
+    for ku, kg in KS:
+        latents2 = jnp.asarray(
+            rng.normal(size=(B, F, H, W, 4)), jnp.float32
+        ).astype(dtype)
+        t0 = time.time()
+        out = fns.sample(params, latents2, uncond, cond, rep, None, None,
+                         uncond_refresh=ku, guidance_refresh=kg)
+        frames = decode(vae_params, out.astype(dtype))
+        np.asarray(frames)
+        elapsed = time.time() - t0
+        log(f"approx K_u={ku} K_g={kg} sampling: {elapsed:.2f}s/video")
+        print(json.dumps({
+            "metric": (
+                f"sec_per_video_t2v_camera_512x512x16f_approx_"
+                f"uncond{ku}_guidance{kg}"
+            ),
+            "value": round(elapsed, 3),
+            "unit": "s",
+            "vs_baseline": round(TARGET_SECONDS / elapsed, 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,120 @@
+"""Adversarial probe: does batch-2 (the vanilla CFG pair) leave speed on
+the table vs 2x batch-1?
+
+PERF.md claims the vanilla step (batch-2 fused forward) is exactly 2x the
+batch-1 forward — i.e. the model is compute/layout-bound and a
+batch-2-specialized kernel has nothing to win.  This probe checks that
+claim at both granularities on the real chip:
+
+- full plain UNet forward, B=1 vs B=2 (in-graph lax.scan amortization,
+  varying inputs so the tunnel cannot dedupe dispatches);
+- the fused spatial-transformer Pallas kernel alone at 64x64 (S=4096,
+  C=320), BF=16 vs BF=32 — the largest single cost in the forward.
+
+If either ratio lands meaningfully under 2.0 there is batch headroom and a
+pair-specialized kernel is worth building; at ~2.0 the floor claim stands.
+
+    python scripts/probe_batch2.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from motionclone_tpu.config import UNet3DConfig  # noqa: E402
+from motionclone_tpu.models.unet3d import UNet3DConditionModel  # noqa: E402
+
+STEPS = 20
+
+
+def timed_scan(fn, x, steps=STEPS):
+    """Device seconds per fn application, amortized inside one scan."""
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            y = fn(c)
+            # feed a hash of the output back so iterations chain (no LICM)
+            return c * (1.0 + 1e-6 * jnp.tanh(jnp.mean(y).astype(c.dtype))), ()
+
+        c, _ = jax.lax.scan(body, x, None, length=steps)
+        return jnp.mean(c)
+
+    r = run(x)
+    float(r)  # compile + sync through the tunnel
+    t0 = time.time()
+    r = run(x * 1.000001)
+    float(r)
+    return (time.time() - t0) / steps
+
+
+def main():
+    dtype = jnp.bfloat16
+    F, H, W = 16, 64, 64
+    print(f"devices: {jax.devices()}", flush=True)
+
+    unet = UNet3DConditionModel(
+        cfg=UNet3DConfig(), guidance_blocks=(),
+        attention_impl="fused" if jax.default_backend() == "tpu" else "auto",
+        dtype=dtype,
+    )
+    emb1 = jnp.zeros((1, 77, 768), dtype)
+    emb2 = jnp.zeros((2, 77, 768), dtype)
+    t = jnp.asarray(400)
+    params = jax.jit(lambda: unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, F, 8, 8, 4), dtype), t, emb1))()
+    jax.block_until_ready(params)
+    print("params ready", flush=True)
+
+    rng = np.random.default_rng(0)
+    lat1 = jnp.asarray(rng.normal(size=(1, F, H, W, 4)), jnp.float32).astype(dtype)
+    lat2 = jnp.asarray(rng.normal(size=(2, F, H, W, 4)), jnp.float32).astype(dtype)
+
+    def fwd1(lat):
+        pred, _ = unet.apply(params, lat, t, emb1)
+        return pred
+
+    def fwd2(lat):
+        pred, _ = unet.apply(params, lat, t, emb2)
+        return pred
+
+    t1 = timed_scan(fwd1, lat1)
+    t2 = timed_scan(fwd2, lat2)
+    print(f"UNet fwd: B=1 {t1*1e3:.1f} ms, B=2 {t2*1e3:.1f} ms, "
+          f"ratio {t2/t1:.3f} (2.0 = no batch win)", flush=True)
+
+    # fused spatial transformer module alone at the dominant shape
+    # (64x64 latents, C=320, S=4096 — the largest single forward cost)
+    from motionclone_tpu.models.attention import Transformer3DModel
+
+    C, heads = 320, 8
+    tr = Transformer3DModel(
+        heads=heads, dim_head=C // heads, num_layers=1,
+        cross_attention_dim=768, norm_num_groups=32,
+        attention_impl="fused" if jax.default_backend() == "tpu" else "auto",
+        dtype=dtype,
+    )
+    x1 = jnp.asarray(rng.normal(size=(1, F, H, W, C)), jnp.float32).astype(dtype)
+    x2 = jnp.asarray(rng.normal(size=(2, F, H, W, C)), jnp.float32).astype(dtype)
+    tp = tr.init(jax.random.PRNGKey(1), x1, emb1)
+
+    k1 = timed_scan(lambda x: tr.apply(tp, x, emb1), x1)
+    k2 = timed_scan(lambda x: tr.apply(tp, x, emb2), x2)
+    print(f"fused 64x64 transformer: B=1 {k1*1e3:.2f} ms, B=2 {k2*1e3:.2f} ms, "
+          f"ratio {k2/k1:.3f} (the kernel grid is (BF x S-tiles): batch only "
+          f"scales the grid, so ~2.0 means MXU-floor-bound, no pair headroom)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -134,6 +134,108 @@ def test_approx_interval_one_is_exact_path():
     np.testing.assert_array_equal(ra, rb)
 
 
+def test_guidance_cache_exact_at_zero_weight():
+    """motion_guidance_weight=0 makes the guidance gradient identically
+    zero — fresh and cached gradients agree, so the guidance-cache pipeline
+    must match the exact one for any interval.  This pins the grad-cache
+    plumbing (carry threading, refresh flags, the stale plain-forward
+    cond_pred) against the exact path; the tolerance covers the stale
+    branch computing cond_pred via the plain UNet graph instead of the
+    aux-probs graph (separately compiled, XLA reassociation)."""
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(4, cfg_scale=7.5, motion_guidance_weight=0.0)
+    )
+    exact = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32)
+    approx = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, guidance_interval=3
+    )
+    ref = np.asarray(exact.sample(params, latents, uncond, cond, rep, None, None))
+    out = np.asarray(approx.sample(params, latents, uncond, cond, rep, None, None))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-5)
+
+
+def test_guidance_cache_close_and_composes_with_uncond_cache():
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(5, cfg_scale=7.5)
+    )
+    exact = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32)
+    both = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+        uncond_interval=2, guidance_interval=2,
+    )
+    ref = np.asarray(exact.sample(params, latents, uncond, cond, rep, None, None))
+    out = np.asarray(both.sample(params, latents, uncond, cond, rep, None, None))
+    assert np.isfinite(out).all()
+    assert out.shape == ref.shape
+    rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 1.5, rel
+    # it IS an approximation (random tiny weights amplify the delta)
+    assert np.abs(out - ref).max() > 0
+
+
+def test_guidance_refresh_runtime_override():
+    """Like the uncond override: the guidance refresh interval is runtime
+    data, so one executable serves every K_g."""
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(6, cfg_scale=7.5)
+    )
+    built2 = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, guidance_interval=2
+    )
+    built3 = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, guidance_interval=3
+    )
+    ref = np.asarray(built2.sample(params, latents, uncond, cond, rep, None, None))
+    out = np.asarray(
+        built3.sample(
+            params, latents, uncond, cond, rep, None, None, guidance_refresh=2
+        )
+    )
+    np.testing.assert_array_equal(out, ref)
+
+    exact = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="guidance_refresh"):
+        exact.sample(
+            params, latents, uncond, cond, rep, None, None, guidance_refresh=2
+        )
+
+
+def test_uncond_refresh_runtime_override():
+    """The refresh interval is runtime data (scan-input flags): sampling a
+    K=3-built fns with ``uncond_refresh=2`` must equal a K=2-built fns —
+    one compiled executable serves every interval (what lets
+    scripts/bench_approx.py sweep K without recompiles)."""
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(3, cfg_scale=7.5)
+    )
+    built2 = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, uncond_interval=2
+    )
+    built3 = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, uncond_interval=3
+    )
+    ref = np.asarray(built2.sample(params, latents, uncond, cond, rep, None, None))
+    out = np.asarray(
+        built3.sample(
+            params, latents, uncond, cond, rep, None, None, uncond_refresh=2
+        )
+    )
+    np.testing.assert_array_equal(out, ref)
+    # and the two intervals through one fns genuinely differ
+    out3 = np.asarray(built3.sample(params, latents, uncond, cond, rep, None, None))
+    assert np.abs(out3 - ref).max() > 0
+
+    exact = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="uncond_refresh"):
+        exact.sample(
+            params, latents, uncond, cond, rep, None, None, uncond_refresh=2
+        )
+    with pytest.raises(ValueError, match="uncond_refresh"):
+        built3.sample(
+            params, latents, uncond, cond, rep, None, None, uncond_refresh=0
+        )
+
+
 def test_approx_guards():
     from motionclone_tpu.parallel.mesh import (
         cfg_pair_sharding,
@@ -145,6 +247,16 @@ def test_approx_guards():
     with pytest.raises(ValueError, match="uncond_interval"):
         make_sampling_fns(
             unet_cfg, sched_cfg, infer_cfg, uncond_interval=0
+        )
+    with pytest.raises(ValueError, match="guidance_interval"):
+        make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg, guidance_interval=0
+        )
+    mesh0 = make_mesh_2d(data=4, cfg=2)
+    with pytest.raises(ValueError, match="CFG-pair"):
+        make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg, guidance_interval=2,
+            cfg_pair_sharding=cfg_pair_sharding(mesh0),
         )
     mesh = make_mesh_2d(data=4, cfg=2)
     with pytest.raises(ValueError, match="CFG-pair"):
@@ -162,10 +274,18 @@ def test_approx_guards():
 def test_parse_approx_cli_spec():
     from motionclone_tpu.cli import parse_approx
 
-    assert parse_approx("") == 1
-    assert parse_approx("uncond-cache") == 3
-    assert parse_approx("uncond-cache:2") == 2
+    assert parse_approx("") == (1, 1)
+    assert parse_approx("uncond-cache") == (3, 1)
+    assert parse_approx("uncond-cache:2") == (2, 1)
+    assert parse_approx("guidance-cache") == (1, 2)
+    assert parse_approx("guidance-cache:4") == (1, 4)
+    assert parse_approx("uncond-cache:3,guidance-cache:2") == (3, 2)
+    assert parse_approx("guidance-cache:2, uncond-cache:5") == (5, 2)
     with pytest.raises(SystemExit):
         parse_approx("magic")
     with pytest.raises(SystemExit):
         parse_approx("uncond-cache:1")
+    with pytest.raises(SystemExit):
+        parse_approx("guidance-cache:1")
+    with pytest.raises(SystemExit):
+        parse_approx("uncond-cache:3,magic")

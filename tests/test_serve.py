@@ -93,6 +93,80 @@ def test_jobs_run_in_submission_order_and_failures_isolate(server):
     assert [j["job_id"] for j in json.loads(body)["jobs"]] == ids
 
 
+def test_concurrent_clients_under_load(tmp_path):
+    """Client storm against the ThreadingHTTPServer: several threads
+    submitting and polling concurrently while others hammer /jobs,
+    /health and /metrics.  Every accepted job must complete exactly once
+    with a coherent terminal record (the store's lock discipline), and
+    the counters must add up."""
+    lock = threading.Lock()
+    calls = []
+
+    def run_job(example):
+        with lock:
+            calls.append(example["new_prompt"])
+        time.sleep(0.002)
+        out = tmp_path / f"{len(calls)}.mp4"
+        out.write_bytes(b"")
+        return str(out)
+
+    srv = MotionCloneServer(run_job, port=0, max_queue=64)
+    srv.start()
+    try:
+        n_threads, per_thread = 6, 5
+        accepted = [[] for _ in range(n_threads)]
+        errors = []
+
+        def submitter(i):
+            try:
+                for j in range(per_thread):
+                    code, body = _req(
+                        srv.port, "/generate",
+                        {"video_path": "v.mp4", "new_prompt": f"p{i}-{j}"},
+                    )
+                    assert code == 202, body
+                    accepted[i].append(json.loads(body)["job_id"])
+                    # interleave reads with writes
+                    _req(srv.port, "/jobs")
+                    _req(srv.port, "/health")
+            except Exception as e:  # surfaced below
+                errors.append(e)
+
+        def reader():
+            try:
+                for _ in range(20):
+                    code, _ = _req(srv.port, "/metrics")
+                    assert code == 200
+                    time.sleep(0.005)
+            except Exception as e:
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=submitter, args=(i,))
+            for i in range(n_threads)
+        ] + [threading.Thread(target=reader) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors
+
+        all_ids = [jid for ids in accepted for jid in ids]
+        assert len(all_ids) == len(set(all_ids)) == n_threads * per_thread
+        for jid in all_ids:
+            rec = _wait_status(srv.port, jid, "done", timeout=30)
+            # terminal record is complete (status flips under the lock)
+            assert rec["finished_at"] is not None
+            assert rec["seconds"] >= 0
+            assert rec["output_path"].endswith(".mp4")
+        # each job ran exactly once
+        assert sorted(calls) == sorted(
+            f"p{i}-{j}" for i in range(n_threads) for j in range(per_thread)
+        )
+    finally:
+        srv.shutdown()
+
+
 def test_validation_errors():
     # no server needed for the pure validator
     with pytest.raises(ValueError, match="required field"):
