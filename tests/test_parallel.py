@@ -535,7 +535,7 @@ def test_sweep_cfg_pair_validates_device_count(tmp_path):
         motion_rep_dir=str(tmp_path / "rep"),
         output_dir=str(tmp_path / "out"),
     )
-    with pytest.raises(ValueError, match="do not compose"):
+    with pytest.raises(ValueError, match="only in shardmap mode"):
         run_sweep(dummy_f, [], num_devices=4, cfg_pair=True, frame_shard=2,
                   **common)
     with pytest.raises(ValueError, match="divide"):
