@@ -159,6 +159,30 @@ def main():
         f"vanilla {vanilla_ms:.1f} ms/step x {len(v_xs[0])}"
     )
 
+    # opt-in approx mode (--approx uncond-cache:5,guidance-cache:2): the
+    # output-changing cross-step caches, reported as separate keys so the
+    # headline stays the exact path (PERF.md "Opt-in approx modes")
+    fns_approx = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=dtype,
+        uncond_interval=2, guidance_interval=2,
+    )
+    t0 = time.time()
+    out = fns_approx.sample(
+        params, latents, uncond, cond, rep, None, None,
+        uncond_refresh=5, guidance_refresh=2,
+    )
+    jax.block_until_ready(decode(vae_params, out.astype(dtype)))
+    log(f"approx compile+first run: {time.time()-t0:.0f}s")
+    lat4 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    t0 = time.time()
+    out = fns_approx.sample(
+        params, lat4, uncond, cond, rep, None, None,
+        uncond_refresh=5, guidance_refresh=2,
+    )
+    np.asarray(decode(vae_params, out.astype(dtype)))
+    approx_elapsed = time.time() - t0
+    log(f"approx (K_u=5, K_g=2) sampling: {approx_elapsed:.2f}s/video")
+
     print(
         json.dumps(
             {
@@ -169,6 +193,8 @@ def main():
                 "steps_per_sec": round(steps_per_sec, 3),
                 "guided_ms_per_step": round(guided_ms, 1),
                 "vanilla_ms_per_step": round(vanilla_ms, 1),
+                "approx_uncond5_guidance2_sec": round(approx_elapsed, 3),
+                "approx_vs_baseline": round(TARGET_SECONDS / approx_elapsed, 3),
             }
         )
     )

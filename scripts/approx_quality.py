@@ -1,0 +1,143 @@
+"""Quantify what the opt-in --approx caches change: exact vs approx outputs.
+
+The cross-step caches (uncond-cache:K_u, guidance-cache:K_g) are
+output-changing by construction — this script measures by how much, on the
+bench workload (t2v_camera 512x512x16f, random bf16 weights; with real
+checkpoints the same command reports the production deviation).  Both
+trajectories run through the SAME compiled approx executable (refresh
+intervals are runtime scan inputs; refresh=1 refreshes every step, i.e.
+exact math), so the comparison isolates the caching itself, not
+executable-to-executable numerics.
+
+Reported per (K_u, K_g) point: relative L2 error of the final latents,
+PSNR and SSIM of the decoded uint8 frames vs the exact run — one JSON
+line per point.
+
+    python scripts/approx_quality.py [KU:KG ...]   (default: 3:1 5:2)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from motionclone_tpu.config import (  # noqa: E402
+    InferenceConfig,
+    NoiseScheduleConfig,
+    UNet3DConfig,
+)
+from motionclone_tpu.models.unet3d import UNet3DConditionModel  # noqa: E402
+from motionclone_tpu.models.vae import AutoencoderKL, VAEConfig  # noqa: E402
+from motionclone_tpu.pipeline.motionclone import make_sampling_fns  # noqa: E402
+from motionclone_tpu.utils.metrics import psnr, ssim  # noqa: E402
+
+
+def _parse(a):
+    ku, _, kg = a.partition(":")
+    return int(ku), int(kg) if kg else 1
+
+
+KS = [_parse(a) for a in sys.argv[1:]] or [(3, 1), (5, 2)]
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    unet_cfg = UNet3DConfig()
+    infer_cfg = InferenceConfig(
+        inference_steps=100, guidance_steps=50, guidance_fraction=0.3,
+        warm_up_steps=10, cool_up_steps=10, motion_guidance_weight=2000.0,
+        motion_guidance_blocks=("up_blocks.1",), width=512, height=512,
+        video_length=16, cfg_scale=7.5,
+    )
+    dtype = jnp.bfloat16
+    B, F = 1, infer_cfg.video_length
+    H = W = infer_cfg.height // 8
+
+    log(f"devices: {jax.devices()}; comparing exact vs approx {KS}")
+    model = UNet3DConditionModel(
+        cfg=unet_cfg, guidance_blocks=("up_blocks.1",), dtype=dtype
+    )
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, F, H, W, 4), dtype),
+        jnp.array([1]), jnp.zeros((B, 77, 768), dtype)))()
+    jax.block_until_ready(params)
+
+    vae = AutoencoderKL(cfg=VAEConfig(), dtype=dtype)
+    vae_params = jax.jit(lambda: vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 1, 64, 64, 3), dtype)))()
+
+    def _decode_uint8(p, z):
+        video = vae.apply(p, z, method=vae.decode)
+        video01 = jnp.clip(video.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        return jnp.round(video01 * 255.0).astype(jnp.uint8)
+
+    decode = jax.jit(_decode_uint8)
+    fns = make_sampling_fns(
+        unet_cfg, NoiseScheduleConfig(), infer_cfg, dtype=dtype,
+        uncond_interval=2, guidance_interval=2,
+    )
+
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    uncond = jnp.asarray(rng.normal(size=(B, 77, 768)), jnp.float32).astype(dtype)
+    cond = jnp.asarray(rng.normal(size=(B, 77, 768)), jnp.float32).astype(dtype)
+    s_hw = 16 * 16
+    rep = {}
+    for m in range(3):
+        for a in range(2):
+            name = (f"up_blocks.1.motion_modules.{m}.temporal_transformer"
+                    f".transformer_blocks.0.attention_blocks.{a}")
+            rep[name] = (
+                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, 8, F, 1)),
+                            jnp.float32),
+                jnp.asarray(rng.integers(0, F, size=(B, s_hw, 8, F, 1)),
+                            np.uint8),
+            )
+
+    def run(ku, kg):
+        out = fns.sample(params, latents, uncond, cond, rep, None, None,
+                         uncond_refresh=ku, guidance_refresh=kg)
+        frames = np.asarray(decode(vae_params, out.astype(dtype)))
+        return np.asarray(out, np.float32), frames
+
+    t0 = time.time()
+    lat_exact, vid_exact = run(1, 1)
+    log(f"exact (refresh=1) run done in {time.time()-t0:.0f}s "
+        f"(incl. any cold compile)")
+
+    for ku, kg in KS:
+        t0 = time.time()
+        lat_a, vid_a = run(ku, kg)
+        rel_l2 = float(
+            np.linalg.norm(lat_a - lat_exact) / np.linalg.norm(lat_exact)
+        )
+        # per-frame metrics on the decoded uint8 clip, averaged
+        fr_e = vid_exact.reshape(-1, *vid_exact.shape[-3:])
+        fr_a = vid_a.reshape(-1, *vid_a.shape[-3:])
+        ps = float(np.mean([min(psnr(a, b), 99.0) for a, b in zip(fr_a, fr_e)]))
+        ss = float(np.mean([ssim(a, b) for a, b in zip(fr_a, fr_e)]))
+        log(f"K_u={ku} K_g={kg}: rel_l2={rel_l2:.4f} psnr={ps:.2f} "
+            f"ssim={ss:.4f} ({time.time()-t0:.0f}s)")
+        print(json.dumps({
+            "metric": f"approx_deviation_uncond{ku}_guidance{kg}",
+            "latent_rel_l2": round(rel_l2, 5),
+            "decoded_psnr_db": round(ps, 2),
+            "decoded_ssim": round(ss, 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

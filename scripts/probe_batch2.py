@@ -37,23 +37,28 @@ from motionclone_tpu.models.unet3d import UNet3DConditionModel  # noqa: E402
 STEPS = 20
 
 
-def timed_scan(fn, x, steps=STEPS):
-    """Device seconds per fn application, amortized inside one scan."""
+def timed_scan(fn, params, x, steps=STEPS):
+    """Device seconds per fn(params, x) application, amortized in one scan.
+
+    ``params`` must be a jit ARGUMENT (not a closure capture): closed-over
+    arrays are baked into the HLO as constants, and 5 GB of weight
+    constants sends XLA's constant folding off a cliff (>25 min compiles).
+    """
 
     @jax.jit
-    def run(x):
+    def run(params, x):
         def body(c, _):
-            y = fn(c)
+            y = fn(params, c)
             # feed a hash of the output back so iterations chain (no LICM)
             return c * (1.0 + 1e-6 * jnp.tanh(jnp.mean(y).astype(c.dtype))), ()
 
         c, _ = jax.lax.scan(body, x, None, length=steps)
         return jnp.mean(c)
 
-    r = run(x)
+    r = run(params, x)
     float(r)  # compile + sync through the tunnel
     t0 = time.time()
-    r = run(x * 1.000001)
+    r = run(params, x * 1.000001)
     float(r)
     return (time.time() - t0) / steps
 
@@ -80,16 +85,16 @@ def main():
     lat1 = jnp.asarray(rng.normal(size=(1, F, H, W, 4)), jnp.float32).astype(dtype)
     lat2 = jnp.asarray(rng.normal(size=(2, F, H, W, 4)), jnp.float32).astype(dtype)
 
-    def fwd1(lat):
-        pred, _ = unet.apply(params, lat, t, emb1)
+    def fwd1(p, lat):
+        pred, _ = unet.apply(p, lat, t, emb1)
         return pred
 
-    def fwd2(lat):
-        pred, _ = unet.apply(params, lat, t, emb2)
+    def fwd2(p, lat):
+        pred, _ = unet.apply(p, lat, t, emb2)
         return pred
 
-    t1 = timed_scan(fwd1, lat1)
-    t2 = timed_scan(fwd2, lat2)
+    t1 = timed_scan(fwd1, params, lat1)
+    t2 = timed_scan(fwd2, params, lat2)
     print(f"UNet fwd: B=1 {t1*1e3:.1f} ms, B=2 {t2*1e3:.1f} ms, "
           f"ratio {t2/t1:.3f} (2.0 = no batch win)", flush=True)
 
@@ -108,8 +113,8 @@ def main():
     x2 = jnp.asarray(rng.normal(size=(2, F, H, W, C)), jnp.float32).astype(dtype)
     tp = tr.init(jax.random.PRNGKey(1), x1, emb1)
 
-    k1 = timed_scan(lambda x: tr.apply(tp, x, emb1), x1)
-    k2 = timed_scan(lambda x: tr.apply(tp, x, emb2), x2)
+    k1 = timed_scan(lambda p, x: tr.apply(p, x, emb1), tp, x1)
+    k2 = timed_scan(lambda p, x: tr.apply(p, x, emb2), tp, x2)
     print(f"fused 64x64 transformer: B=1 {k1*1e3:.2f} ms, B=2 {k2*1e3:.2f} ms, "
           f"ratio {k2/k1:.3f} (the kernel grid is (BF x S-tiles): batch only "
           f"scales the grid, so ~2.0 means MXU-floor-bound, no pair headroom)",
