@@ -110,8 +110,11 @@ def build_parser(
         "stay exact). 'guidance-cache[:K]': refresh the motion-guidance "
         "gradient (the cond fwd+bwd) every K guided steps (default 2); in "
         "between a plain conditional forward supplies the CFG term and the "
-        "cached gradient is re-applied with the current ramp. Combine "
-        "with a comma: 'uncond-cache:3,guidance-cache:2'",
+        "cached gradient is re-applied with the current ramp. "
+        "'uncond-extrap[:K]': like uncond-cache but the cached prediction "
+        "is linearly extrapolated in timestep space between refreshes "
+        "(lower deviation, same speed). Combine with a comma: "
+        "'uncond-extrap:3,guidance-cache:2'",
     )
     parser.add_argument(
         "--weights-cache",
@@ -125,31 +128,41 @@ def build_parser(
     return parser
 
 
-_APPROX_DEFAULTS = {"uncond-cache": 3, "guidance-cache": 2}
+_APPROX_DEFAULTS = {"uncond-cache": 3, "uncond-extrap": 3, "guidance-cache": 2}
 
 
 def parse_approx(spec: str) -> tuple:
-    """'--approx MODE[:K][,MODE[:K]]' -> (uncond_interval, guidance_interval).
+    """'--approx MODE[:K][,MODE[:K]]' ->
+    (uncond_interval, guidance_interval, uncond_extrap).
 
-    Modes: ``uncond-cache`` (cross-step uncond-prediction cache) and
+    Modes: ``uncond-cache`` (cross-step uncond-prediction cache),
+    ``uncond-extrap`` (the same cache, linearly extrapolated in timestep
+    space between refreshes — lower deviation at the same speed) and
     ``guidance-cache`` (cross-step motion-guidance-gradient cache); an
     interval of 1 means that cache is off.
     """
-    intervals = {"uncond-cache": 1, "guidance-cache": 1}
+    intervals = {"uncond-cache": 1, "uncond-extrap": 1, "guidance-cache": 1}
     if not spec:
-        return 1, 1
+        return 1, 1, 0.0
     for part in spec.split(","):
         name, _, k = part.strip().partition(":")
         if name not in _APPROX_DEFAULTS:
             raise SystemExit(
                 f"unknown --approx mode {name!r} (supported: "
-                f"uncond-cache[:K], guidance-cache[:K])"
+                f"uncond-cache[:K], uncond-extrap[:K], guidance-cache[:K])"
             )
         interval = int(k) if k else _APPROX_DEFAULTS[name]
         if interval < 2:
             raise SystemExit(f"--approx {name}:K needs K >= 2")
         intervals[name] = interval
-    return intervals["uncond-cache"], intervals["guidance-cache"]
+    if intervals["uncond-cache"] > 1 and intervals["uncond-extrap"] > 1:
+        raise SystemExit(
+            "--approx uncond-cache and uncond-extrap are the same cache "
+            "(held vs extrapolated) — pick one"
+        )
+    extrap = 1.0 if intervals["uncond-extrap"] > 1 else 0.0
+    uncond_k = max(intervals["uncond-cache"], intervals["uncond-extrap"])
+    return uncond_k, intervals["guidance-cache"], extrap
 
 
 def _setup(args, cfg=None):
@@ -165,7 +178,9 @@ def _setup(args, cfg=None):
             args.inference_config, width=args.W, height=args.H,
             video_length=args.L,
         )
-    uncond_k, guidance_k = parse_approx(getattr(args, "approx", ""))
+    uncond_k, guidance_k, uncond_extrap = parse_approx(
+        getattr(args, "approx", "")
+    )
     os.makedirs(args.generated_videos_save_dir, exist_ok=True)
     with open(
         os.path.join(args.generated_videos_save_dir, "inference_config.json"), "w"
@@ -182,6 +197,7 @@ def _setup(args, cfg=None):
         cfg_pair=getattr(args, "cfg_pair", False),
         uncond_interval=uncond_k,
         guidance_interval=guidance_k,
+        uncond_extrap=uncond_extrap,
         weights_cache=args.weights_cache,
     )
     return cfg, runtime

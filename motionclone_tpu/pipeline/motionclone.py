@@ -124,6 +124,7 @@ def make_sampling_fns(
     frame_shard_map=None,
     uncond_interval: int = 1,
     guidance_interval: int = 1,
+    uncond_extrap: float = 0.0,
 ) -> SamplingFns:
     """Build the jitted extract/sample functions for one workload config.
 
@@ -224,13 +225,24 @@ def make_sampling_fns(
     #   (fused-kernel) conditional forward supplies the CFG term and the
     #   cached RAW gradient is re-applied with the current step's
     #   warm-up/cool-down ramp.
-    # Both intervals are runtime data (per-step refresh flags in the scan
-    # xs), so one compiled approx executable serves every (K_u, K_g).
+    # * uncond_extrap (weight in [0, 1], default 0): instead of holding
+    #   the cached uncond prediction constant, linearly extrapolate it in
+    #   timestep space from the last two refresh anchors — cancels the
+    #   first-order drift of the hold-the-cache deviation for free (a few
+    #   elementwise ops on one (B,F,H,W,4) buffer).
+    # Intervals and the extrapolation weight are runtime data (per-step
+    # scan-xs columns), so one compiled approx executable serves every
+    # (K_u, K_g, w) point.
     if uncond_interval < 1:
         raise ValueError(f"uncond_interval must be >= 1, got {uncond_interval}")
     if guidance_interval < 1:
         raise ValueError(
             f"guidance_interval must be >= 1, got {guidance_interval}"
+        )
+    if uncond_extrap and uncond_interval == 1:
+        raise ValueError(
+            "uncond_extrap extrapolates the uncond cache: build "
+            "make_sampling_fns(..., uncond_interval>1) to enable it"
         )
     approx_guided = uncond_interval > 1 or guidance_interval > 1
     if approx_guided and (cfg_pair_sharding is not None or smap_cfg_pair):
@@ -694,20 +706,41 @@ def make_sampling_fns(
             new_latents = ddim_step(ddim, noise_pred, t, tp, latents)
             return frame_constrain(new_latents), jnp.zeros(())
 
+        def _extrapolate(u_last, u_prev, t_last, t_prev, n_ref, t_f, w):
+            # first-order extrapolation of the cached uncond prediction in
+            # timestep space from the last two refresh anchors: u(t) drifts
+            # smoothly along the DDIM trajectory, so the linear term
+            # cancels most of the hold-the-cache deviation.  w=0 reduces to
+            # the plain held cache; the slope is masked until two anchors
+            # exist (n_ref >= 2).  f32 arithmetic: bf16 anchor differences
+            # are the signal being amplified.
+            denom = t_last - t_prev
+            slope = (
+                u_last.astype(jnp.float32) - u_prev.astype(jnp.float32)
+            ) / jnp.where(denom == 0.0, 1.0, denom)
+            ok = jnp.where(n_ref >= 2.0, 1.0, 0.0)
+            est = u_last.astype(jnp.float32) + (w * ok) * slope * (
+                t_f - t_last
+            )
+            return est.astype(u_last.dtype)
+
         def guided_step_approx(carry, step):
             """Guided step with the cross-step caches: carry is (latents,
-            cached uncond prediction, cached raw guidance gradient); the
-            per-step scan inputs ``refresh_u`` / ``refresh_g`` decide
-            between fresh work and the caches.  With all flags True this
+            uncond-cache anchors (u_last, u_prev, t_last, t_prev, n_ref),
+            cached raw guidance gradient); the per-step scan inputs
+            ``refresh_u`` / ``refresh_g`` decide between fresh work and the
+            caches, and ``extrap_w`` weights the first-order uncond
+            extrapolation (0 = plain held cache).  With all flags True this
             computes the exact step's math (what lets one executable serve
             every interval, including 1)."""
-            latents, prev_u, prev_g = carry
-            t, tp, ramp, refresh_u, refresh_g = step
+            latents, u_last, u_prev, t_last, t_prev, n_ref, prev_g = carry
+            t, tp, ramp, refresh_u, refresh_g, extrap_w = step
             latents = frame_constrain(latents)
             cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
+            t_f = t.astype(jnp.float32)
 
             def fresh_u(operand):
-                lat, _ = operand
+                lat, u_last, u_prev, t_last, t_prev, n_ref = operand
                 up, _ = plain_unet.apply(
                     params,
                     lat,
@@ -716,10 +749,18 @@ def make_sampling_fns(
                     down_block_residuals=cn_u[0],
                     mid_block_residual=cn_u[1],
                 )
-                return up
+                return up, up, u_last, t_f, t_last, n_ref + 1.0
 
-            uncond_pred = jax.lax.cond(
-                refresh_u, fresh_u, lambda op: op[1], (latents, prev_u)
+            def stale_u(operand):
+                lat, u_last, u_prev, t_last, t_prev, n_ref = operand
+                est = _extrapolate(
+                    u_last, u_prev, t_last, t_prev, n_ref, t_f, extrap_w
+                )
+                return est, u_last, u_prev, t_last, t_prev, n_ref
+
+            uncond_pred, u_last, u_prev, t_last, t_prev, n_ref = jax.lax.cond(
+                refresh_u, fresh_u, stale_u,
+                (latents, u_last, u_prev, t_last, t_prev, n_ref),
             )
 
             def fresh_g(operand):
@@ -753,22 +794,28 @@ def make_sampling_fns(
                 ddim, noise_pred, t, tp, latents, score=grad, guidance_scale=1.0
             )
             return (
-                (frame_constrain(new_latents), uncond_pred, raw_grad),
+                (
+                    frame_constrain(new_latents),
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                    raw_grad,
+                ),
                 loss,
             )
 
         def vanilla_step_approx(carry, step):
             """Vanilla CFG step with the uncond cache: on refresh steps the
             standard batch-2 pair runs; in between a batch-1 conditional
-            forward pairs with the cached uncond prediction."""
-            latents, prev_u = carry
-            t, tp, refresh = step
+            forward pairs with the cached (optionally extrapolated) uncond
+            prediction."""
+            latents, u_last, u_prev, t_last, t_prev, n_ref = carry
+            t, tp, refresh, extrap_w = step
             latents = frame_constrain(latents)
             cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
             b = latents.shape[0]
+            t_f = t.astype(jnp.float32)
 
             def fresh(operand):
-                lat, _ = operand
+                lat, u_last, u_prev, t_last, t_prev, n_ref = operand
                 lat2 = jnp.concatenate([lat, lat], axis=0)
                 if cn_u[0] is None:
                     down_res, mid_res = None, None
@@ -786,10 +833,13 @@ def make_sampling_fns(
                     down_block_residuals=down_res,
                     mid_block_residual=mid_res,
                 )
-                return pred2[:b], pred2[b:]
+                return (
+                    pred2[:b], pred2[b:],
+                    pred2[:b], u_last, t_f, t_last, n_ref + 1.0,
+                )
 
             def stale(operand):
-                lat, pu = operand
+                lat, u_last, u_prev, t_last, t_prev, n_ref = operand
                 pred, _ = plain_unet.apply(
                     params,
                     lat,
@@ -798,15 +848,25 @@ def make_sampling_fns(
                     down_block_residuals=cn_c[0],
                     mid_block_residual=cn_c[1],
                 )
-                return pu, pred
+                est = _extrapolate(
+                    u_last, u_prev, t_last, t_prev, n_ref, t_f, extrap_w
+                )
+                return est, pred, u_last, u_prev, t_last, t_prev, n_ref
 
-            uncond_pred, cond_pred = jax.lax.cond(
-                refresh, fresh, stale, (latents, prev_u)
+            (
+                uncond_pred, cond_pred,
+                u_last, u_prev, t_last, t_prev, n_ref,
+            ) = jax.lax.cond(
+                refresh, fresh, stale,
+                (latents, u_last, u_prev, t_last, t_prev, n_ref),
             )
             noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
             new_latents = ddim_step(ddim, noise_pred, t, tp, latents)
             return (
-                (frame_constrain(new_latents), uncond_pred),
+                (
+                    frame_constrain(new_latents),
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                ),
                 jnp.zeros(()),
             )
 
@@ -822,6 +882,12 @@ def make_sampling_fns(
         # xs: ONE compiled approx executable serves every interval k.
         return jnp.asarray((np.arange(n) % k) == 0)
 
+    def _const_col(n, w):
+        # a per-step constant scan column (e.g. the extrapolation weight):
+        # runtime data like the refresh flags, so one executable serves
+        # every value
+        return jnp.full((n,), w, jnp.float32)
+
     def _guided_chunk(params, latents, uncond_emb, cond_emb, motion_rep,
                       cn_params, cn_cond, xs):
         guided_step, _, guided_approx, _ = _make_steps(
@@ -829,12 +895,18 @@ def make_sampling_fns(
         )
         if approx_guided:
             # approx mode: callers append the per-step (refresh_u,
-            # refresh_g) flags to xs; the caches are zero-initialized per
-            # dispatch and flags[0] is always True, so chunks stay
-            # self-contained (--resume stays well-defined)
-            (latents, _, _), _ = jax.lax.scan(
+            # refresh_g, extrap_w) columns to xs; the caches are
+            # zero-initialized per dispatch and flags[0] is always True,
+            # so chunks stay self-contained (--resume stays well-defined)
+            z = jnp.zeros((), jnp.float32)
+            (latents, *_), _ = jax.lax.scan(
                 guided_approx,
-                (latents, jnp.zeros_like(latents), jnp.zeros_like(latents)),
+                (
+                    latents,
+                    jnp.zeros_like(latents), jnp.zeros_like(latents),
+                    z, z, z,
+                    jnp.zeros_like(latents),
+                ),
                 xs,
             )
         else:
@@ -847,8 +919,15 @@ def make_sampling_fns(
             params, uncond_emb, cond_emb, motion_rep, cn_params, cn_cond
         )
         if uncond_interval > 1:
-            (latents, _), _ = jax.lax.scan(
-                vanilla_approx, (latents, jnp.zeros_like(latents)), xs
+            z = jnp.zeros((), jnp.float32)
+            (latents, *_), _ = jax.lax.scan(
+                vanilla_approx,
+                (
+                    latents,
+                    jnp.zeros_like(latents), jnp.zeros_like(latents),
+                    z, z, z,
+                ),
+                xs,
             )
         else:
             latents, _ = jax.lax.scan(vanilla_step, latents, xs)
@@ -880,7 +959,8 @@ def make_sampling_fns(
                cn_params=None, cn_cond=None, chunk_steps: int = 50,
                resume_path: Optional[str] = None, on_chunk=None,
                resume_tag: str = "", uncond_refresh: Optional[int] = None,
-               guidance_refresh: Optional[int] = None):
+               guidance_refresh: Optional[int] = None,
+               uncond_extrap_w: Optional[float] = None):
         _check_smap_cn_cond(cn_cond)
         # ``uncond_refresh`` / ``guidance_refresh`` override the build-time
         # refresh intervals at dispatch time (the flags are runtime scan
@@ -906,6 +986,12 @@ def make_sampling_fns(
             raise ValueError(
                 f"guidance_refresh must be >= 1, got {g_refresh}"
             )
+        if uncond_extrap_w is not None and uncond_interval == 1:
+            raise ValueError(
+                "uncond_extrap_w needs the approx executables: build "
+                "make_sampling_fns(..., uncond_interval>1)"
+            )
+        w_extrap = uncond_extrap if uncond_extrap_w is None else uncond_extrap_w
         total = len(timesteps)
         fingerprint = np.asarray(timesteps, np.int32)
         steps_done = 0
@@ -941,11 +1027,15 @@ def make_sampling_fns(
                         xs = xs + (
                             _refresh_flags(size, k_refresh),
                             _refresh_flags(size, g_refresh),
+                            _const_col(size, w_extrap),
                         )
                     elif not is_guided and uncond_interval > 1:
                         # the guidance cache is a guided-phase concept; the
                         # vanilla phase only ever caches the uncond forward
-                        xs = xs + (_refresh_flags(size, k_refresh),)
+                        xs = xs + (
+                            _refresh_flags(size, k_refresh),
+                            _const_col(size, w_extrap),
+                        )
                     latents = chunk_fn(
                         params, latents, uncond_emb, cond_emb, motion_rep,
                         cn_params, cn_cond, xs,
@@ -996,7 +1086,10 @@ def make_sampling_fns(
             size = min(chunk_steps, n - lo)
             xs = (ts_plain_j[lo : lo + size], tp_plain_j[lo : lo + size])
             if uncond_interval > 1:
-                xs = xs + (_refresh_flags(size, uncond_interval),)
+                xs = xs + (
+                    _refresh_flags(size, uncond_interval),
+                    _const_col(size, uncond_extrap),
+                )
             latents = vanilla_chunk(
                 params, latents, uncond_emb, cond_emb, no_rep,
                 cn_params, cn_cond, xs,
@@ -1114,6 +1207,7 @@ class MotionClonePipeline:
         frame_shard_map=None,
         uncond_interval: int = 1,
         guidance_interval: int = 1,
+        uncond_extrap: float = 0.0,
     ):
         self.unet_cfg = unet_cfg
         self.sched_cfg = sched_cfg
@@ -1135,6 +1229,7 @@ class MotionClonePipeline:
             frame_shard_map=frame_shard_map,
             uncond_interval=uncond_interval,
             guidance_interval=guidance_interval,
+            uncond_extrap=uncond_extrap,
         )
         # latent placement: both frame-sharding flavors put the frame axis
         # of the (B, F, H, W, C) tensors on the mesh's ``frames`` axis

@@ -121,6 +121,7 @@ class MotionCloneRuntime:
         cfg_pair: bool = False,
         uncond_interval: int = 1,
         guidance_interval: int = 1,
+        uncond_extrap: float = 0.0,
         weights_cache: str = "",
     ):
         """``frame_shard``: split the frame axis of every video tensor over
@@ -147,8 +148,13 @@ class MotionCloneRuntime:
         guidance-gradient cache (``--approx guidance-cache:K``): the motion
         guidance's cond fwd+bwd refreshes every K guided steps; in between
         a plain conditional forward supplies the CFG term and the cached
-        raw gradient is re-applied with the current ramp.  Neither is ever
-        on by default (BASELINE.md parity requires the exact path).
+        raw gradient is re-applied with the current ramp.
+        ``uncond_extrap``: weight in [0, 1] (``--approx uncond-extrap:K``
+        sets 1.0) — linearly extrapolate the cached uncond prediction in
+        timestep space from the last two refresh anchors instead of holding
+        it, cancelling the first-order cache deviation at no device cost.
+        None of these is ever on by default (BASELINE.md parity requires
+        the exact path).
 
         ``weights_cache``: directory for the converted-parameter cache
         (weights.cache) — the torch->flax conversion and merge pipeline runs
@@ -401,6 +407,7 @@ class MotionCloneRuntime:
             frame_shard_map=self.frame_shard_map,
             uncond_interval=uncond_interval,
             guidance_interval=guidance_interval,
+            uncond_extrap=uncond_extrap,
         )
 
         self._vae_encode = jax.jit(

@@ -43,11 +43,14 @@ from motionclone_tpu.utils.metrics import psnr, ssim  # noqa: E402
 
 
 def _parse(a):
-    ku, _, kg = a.partition(":")
-    return int(ku), int(kg) if kg else 1
+    parts = a.split(":")
+    ku = int(parts[0])
+    kg = int(parts[1]) if len(parts) > 1 else 1
+    w = float(parts[2]) if len(parts) > 2 else 0.0
+    return ku, kg, w
 
 
-KS = [_parse(a) for a in sys.argv[1:]] or [(3, 1), (5, 2)]
+KS = [_parse(a) for a in sys.argv[1:]] or [(3, 1, 0.0), (5, 2, 0.0)]
 
 
 def log(msg):
@@ -107,9 +110,10 @@ def main():
                             np.uint8),
             )
 
-    def run(ku, kg):
+    def run(ku, kg, w=0.0):
         out = fns.sample(params, latents, uncond, cond, rep, None, None,
-                         uncond_refresh=ku, guidance_refresh=kg)
+                         uncond_refresh=ku, guidance_refresh=kg,
+                         uncond_extrap_w=w)
         frames = np.asarray(decode(vae_params, out.astype(dtype)))
         return np.asarray(out, np.float32), frames
 
@@ -118,9 +122,9 @@ def main():
     log(f"exact (refresh=1) run done in {time.time()-t0:.0f}s "
         f"(incl. any cold compile)")
 
-    for ku, kg in KS:
+    for ku, kg, w in KS:
         t0 = time.time()
-        lat_a, vid_a = run(ku, kg)
+        lat_a, vid_a = run(ku, kg, w)
         rel_l2 = float(
             np.linalg.norm(lat_a - lat_exact) / np.linalg.norm(lat_exact)
         )
@@ -129,10 +133,11 @@ def main():
         fr_a = vid_a.reshape(-1, *vid_a.shape[-3:])
         ps = float(np.mean([min(psnr(a, b), 99.0) for a, b in zip(fr_a, fr_e)]))
         ss = float(np.mean([ssim(a, b) for a, b in zip(fr_a, fr_e)]))
-        log(f"K_u={ku} K_g={kg}: rel_l2={rel_l2:.4f} psnr={ps:.2f} "
+        tag = "_extrap" if w else ""
+        log(f"K_u={ku} K_g={kg} w={w}: rel_l2={rel_l2:.4f} psnr={ps:.2f} "
             f"ssim={ss:.4f} ({time.time()-t0:.0f}s)")
         print(json.dumps({
-            "metric": f"approx_deviation_uncond{ku}_guidance{kg}",
+            "metric": f"approx_deviation_uncond{ku}_guidance{kg}{tag}",
             "latent_rel_l2": round(rel_l2, 5),
             "decoded_psnr_db": round(ps, 2),
             "decoded_ssim": round(ss, 4),

@@ -37,11 +37,16 @@ from motionclone_tpu.models.vae import AutoencoderKL, VAEConfig  # noqa: E402
 from motionclone_tpu.pipeline.motionclone import make_sampling_fns  # noqa: E402
 
 def _parse(a):
-    ku, _, kg = a.partition(":")
-    return int(ku), int(kg) if kg else 1
+    parts = a.split(":")
+    ku = int(parts[0])
+    kg = int(parts[1]) if len(parts) > 1 else 1
+    w = float(parts[2]) if len(parts) > 2 else 0.0
+    return ku, kg, w
 
 
-KS = [_parse(a) for a in sys.argv[1:]] or [(3, 1), (5, 1), (3, 2), (5, 2)]
+KS = [_parse(a) for a in sys.argv[1:]] or [
+    (3, 1, 0.0), (5, 1, 0.0), (3, 2, 0.0), (5, 2, 0.0)
+]
 TARGET_SECONDS = 30.0
 
 
@@ -106,28 +111,31 @@ def main():
             )
 
     t0 = time.time()
-    ku0, kg0 = KS[0]
+    ku0, kg0, w0 = KS[0]
     out = fns.sample(params, latents, uncond, cond, rep, None, None,
-                     uncond_refresh=ku0, guidance_refresh=kg0)
+                     uncond_refresh=ku0, guidance_refresh=kg0,
+                     uncond_extrap_w=w0)
     frames = decode(vae_params, out.astype(dtype))
     jax.block_until_ready(frames)
     log(f"compile+first run: {time.time()-t0:.0f}s")
 
-    for ku, kg in KS:
+    for ku, kg, w in KS:
         latents2 = jnp.asarray(
             rng.normal(size=(B, F, H, W, 4)), jnp.float32
         ).astype(dtype)
         t0 = time.time()
         out = fns.sample(params, latents2, uncond, cond, rep, None, None,
-                         uncond_refresh=ku, guidance_refresh=kg)
+                         uncond_refresh=ku, guidance_refresh=kg,
+                         uncond_extrap_w=w)
         frames = decode(vae_params, out.astype(dtype))
         np.asarray(frames)
         elapsed = time.time() - t0
-        log(f"approx K_u={ku} K_g={kg} sampling: {elapsed:.2f}s/video")
+        tag = "_extrap" if w else ""
+        log(f"approx K_u={ku} K_g={kg} w={w} sampling: {elapsed:.2f}s/video")
         print(json.dumps({
             "metric": (
                 f"sec_per_video_t2v_camera_512x512x16f_approx_"
-                f"uncond{ku}_guidance{kg}"
+                f"uncond{ku}_guidance{kg}{tag}"
             ),
             "value": round(elapsed, 3),
             "unit": "s",

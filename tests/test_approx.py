@@ -274,13 +274,15 @@ def test_approx_guards():
 def test_parse_approx_cli_spec():
     from motionclone_tpu.cli import parse_approx
 
-    assert parse_approx("") == (1, 1)
-    assert parse_approx("uncond-cache") == (3, 1)
-    assert parse_approx("uncond-cache:2") == (2, 1)
-    assert parse_approx("guidance-cache") == (1, 2)
-    assert parse_approx("guidance-cache:4") == (1, 4)
-    assert parse_approx("uncond-cache:3,guidance-cache:2") == (3, 2)
-    assert parse_approx("guidance-cache:2, uncond-cache:5") == (5, 2)
+    assert parse_approx("") == (1, 1, 0.0)
+    assert parse_approx("uncond-cache") == (3, 1, 0.0)
+    assert parse_approx("uncond-cache:2") == (2, 1, 0.0)
+    assert parse_approx("guidance-cache") == (1, 2, 0.0)
+    assert parse_approx("guidance-cache:4") == (1, 4, 0.0)
+    assert parse_approx("uncond-cache:3,guidance-cache:2") == (3, 2, 0.0)
+    assert parse_approx("guidance-cache:2, uncond-cache:5") == (5, 2, 0.0)
+    assert parse_approx("uncond-extrap") == (3, 1, 1.0)
+    assert parse_approx("uncond-extrap:5,guidance-cache:2") == (5, 2, 1.0)
     with pytest.raises(SystemExit):
         parse_approx("magic")
     with pytest.raises(SystemExit):
@@ -289,3 +291,80 @@ def test_parse_approx_cli_spec():
         parse_approx("guidance-cache:1")
     with pytest.raises(SystemExit):
         parse_approx("uncond-cache:3,magic")
+    with pytest.raises(SystemExit):
+        parse_approx("uncond-cache:3,uncond-extrap:3")
+
+
+def test_extrap_exact_at_zero_cfg_scale():
+    """cfg_scale=0 removes the uncond term entirely, extrapolated or not —
+    the extrap pipeline must equal the exact one."""
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(7, cfg_scale=0.0)
+    )
+    exact = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32
+    )
+    extrap = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+        uncond_interval=2, uncond_extrap=1.0,
+    )
+    ref = np.asarray(exact.sample(params, latents, uncond, cond, rep, None, None))
+    out = np.asarray(extrap.sample(params, latents, uncond, cond, rep, None, None))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-5)
+
+
+def test_extrap_weight_is_runtime_data():
+    """The extrapolation weight is a runtime scan column: a w=1.0-built fns
+    dispatched with ``uncond_extrap_w=0.0`` must equal a plain-cache build,
+    and w=1.0 must genuinely change the output vs the held cache."""
+    # extrapolation needs two refresh anchors (n_ref >= 2) before it can
+    # act, so the phases must be long enough for a second refresh plus a
+    # later stale step: 4 guided + 4 vanilla steps at K=2 refresh at steps
+    # 0 and 2 of each phase and extrapolate at step 3
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(8, cfg_scale=7.5, inference_steps=8, guidance_steps=4)
+    )
+    plain = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, uncond_interval=2
+    )
+    extrap = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+        uncond_interval=2, uncond_extrap=1.0,
+    )
+    r_plain = np.asarray(
+        plain.sample(params, latents, uncond, cond, rep, None, None)
+    )
+    r_w0 = np.asarray(
+        extrap.sample(
+            params, latents, uncond, cond, rep, None, None,
+            uncond_extrap_w=0.0,
+        )
+    )
+    r_w1 = np.asarray(
+        extrap.sample(params, latents, uncond, cond, rep, None, None)
+    )
+    np.testing.assert_allclose(r_w0, r_plain, rtol=2e-5, atol=1e-6)
+    assert np.isfinite(r_w1).all()
+    assert np.abs(r_w1 - r_plain).max() > 0
+    # extrapolation is a bounded perturbation of the held cache here
+    rel = np.linalg.norm(r_w1 - r_plain) / (np.linalg.norm(r_plain) + 1e-9)
+    assert rel < 1.5, rel
+
+
+def test_extrap_guards():
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(9)
+    )
+    with pytest.raises(ValueError, match="uncond_extrap"):
+        make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+            uncond_extrap=1.0,
+        )
+    exact = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32
+    )
+    with pytest.raises(ValueError, match="uncond_extrap_w"):
+        exact.sample(
+            params, latents, uncond, cond, rep, None, None,
+            uncond_extrap_w=1.0,
+        )
