@@ -159,9 +159,10 @@ def main():
         f"vanilla {vanilla_ms:.1f} ms/step x {len(v_xs[0])}"
     )
 
-    # opt-in approx mode (--approx uncond-cache:5,guidance-cache:2): the
-    # output-changing cross-step caches, reported as separate keys so the
-    # headline stays the exact path (PERF.md "Opt-in approx modes")
+    # opt-in approx mode (--approx uncond-extrap:5,guidance-cache:2): the
+    # output-changing cross-step caches with first-order uncond
+    # extrapolation (free, cuts the deviation — PERF.md "Opt-in approx
+    # modes"), reported as separate keys so the headline stays exact
     fns_approx = make_sampling_fns(
         unet_cfg, sched_cfg, infer_cfg, dtype=dtype,
         uncond_interval=2, guidance_interval=2,
@@ -169,7 +170,7 @@ def main():
     t0 = time.time()
     out = fns_approx.sample(
         params, latents, uncond, cond, rep, None, None,
-        uncond_refresh=5, guidance_refresh=2,
+        uncond_refresh=5, guidance_refresh=2, uncond_extrap_w=1.0,
     )
     jax.block_until_ready(decode(vae_params, out.astype(dtype)))
     log(f"approx compile+first run: {time.time()-t0:.0f}s")
@@ -177,11 +178,11 @@ def main():
     t0 = time.time()
     out = fns_approx.sample(
         params, lat4, uncond, cond, rep, None, None,
-        uncond_refresh=5, guidance_refresh=2,
+        uncond_refresh=5, guidance_refresh=2, uncond_extrap_w=1.0,
     )
     np.asarray(decode(vae_params, out.astype(dtype)))
     approx_elapsed = time.time() - t0
-    log(f"approx (K_u=5, K_g=2) sampling: {approx_elapsed:.2f}s/video")
+    log(f"approx (K_u=5 extrap, K_g=2) sampling: {approx_elapsed:.2f}s/video")
 
     print(
         json.dumps(
@@ -193,7 +194,7 @@ def main():
                 "steps_per_sec": round(steps_per_sec, 3),
                 "guided_ms_per_step": round(guided_ms, 1),
                 "vanilla_ms_per_step": round(vanilla_ms, 1),
-                "approx_uncond5_guidance2_sec": round(approx_elapsed, 3),
+                "approx_uncond5_extrap_guidance2_sec": round(approx_elapsed, 3),
                 "approx_vs_baseline": round(TARGET_SECONDS / approx_elapsed, 3),
             }
         )
