@@ -163,6 +163,12 @@ class MotionCloneRuntime:
         self.infer_cfg = infer_cfg
         self.dtype = dtype
         self.attention_impl = attention_impl
+        # --approx knobs are kept on the runtime so every rebuild of the
+        # sampling fns (pipeline.sweep's composed modes) threads them too —
+        # a sweep must never silently degrade an --approx request to exact
+        self.uncond_interval = uncond_interval
+        self.guidance_interval = guidance_interval
+        self.uncond_extrap = uncond_extrap
         self.frame_sharding = None
         self.frame_shard_map = None
         self.cfg_pair_sharding = None
@@ -427,19 +433,50 @@ class MotionCloneRuntime:
     # text
     # ------------------------------------------------------------------
 
-    def _tokenize(self, text: str) -> jnp.ndarray:
-        ids = self.tokenizer.encode_padded(
-            text, max_length=self.tokenizer.model_max_length
+    def _tokenize(self, texts) -> jnp.ndarray:
+        """One padded id batch (B, 77) for a str or a sequence of str."""
+        if isinstance(texts, str):
+            texts = [texts]
+        ids = np.concatenate(
+            [
+                self.tokenizer.encode_padded(  # (1, 77) each
+                    t, max_length=self.tokenizer.model_max_length
+                )
+                for t in texts
+            ],
+            axis=0,
         )
         return jnp.asarray(ids, dtype=jnp.int32)
 
     def encode_prompt(
-        self, prompt: str, negative_prompt: str = ""
+        self,
+        prompt,
+        negative_prompt="",
+        num_videos_per_prompt: int = 1,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(uncond, cond) CLIP embeddings, each (1, 77, 768)
-        (pipeline_animation.py:160-247)."""
-        cond = self._clip_apply(self.clip_params, self._tokenize(prompt))
-        uncond = self._clip_apply(self.clip_params, self._tokenize(negative_prompt))
+        """(uncond, cond) CLIP embeddings, each (B*num_videos, 77, 768).
+
+        Full reference surface (pipeline_animation.py:160-247): ``prompt``
+        a str or list of str; ``negative_prompt`` a str (broadcast over the
+        batch) or a per-prompt list whose length must match; each prompt's
+        embedding is repeated ``num_videos_per_prompt`` times consecutively
+        (the reference's repeat-then-reshape, :188-190,:235-237)."""
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        if isinstance(negative_prompt, str):
+            negatives = [negative_prompt] * len(prompts)
+        else:
+            negatives = list(negative_prompt)
+            if len(negatives) != len(prompts):
+                # reference raises on the mismatch (:207-213)
+                raise ValueError(
+                    f"negative_prompt has batch size {len(negatives)}, but "
+                    f"prompt has batch size {len(prompts)} — they must match"
+                )
+        cond = self._clip_apply(self.clip_params, self._tokenize(prompts))
+        uncond = self._clip_apply(self.clip_params, self._tokenize(negatives))
+        if num_videos_per_prompt > 1:
+            cond = jnp.repeat(cond, num_videos_per_prompt, axis=0)
+            uncond = jnp.repeat(uncond, num_videos_per_prompt, axis=0)
         return uncond, cond
 
     # ------------------------------------------------------------------

@@ -93,6 +93,16 @@ def run_sweep(
     os.makedirs(motion_rep_dir, exist_ok=True)
     os.makedirs(output_dir, exist_ok=True)
 
+    # --approx must survive every rebuild of the sampling fns below: a user
+    # asking for the cross-step caches gets them in every sweep mode, or a
+    # loud error where the composition is unsupported (make_sampling_fns
+    # rejects approx x CFG-pair splitting) — never silent exact-math timing
+    approx_kwargs = dict(
+        uncond_interval=getattr(runtime, "uncond_interval", 1),
+        guidance_interval=getattr(runtime, "guidance_interval", 1),
+        uncond_extrap=getattr(runtime, "uncond_extrap", 0.0),
+    )
+
     # local devices: in a multi-host run each process sweeps only its own
     # chips (share-nothing example parallelism — parallel/distributed.py);
     # single-process runs see the identical device list either way
@@ -122,6 +132,7 @@ def run_sweep(
             attention_impl=runtime.attention_impl,
             cfg_pair_sharding=cfg_pair_sharding(mesh),
             controlnet_apply=runtime.pipeline.controlnet_apply,
+            **approx_kwargs,
         )
         n_dev = n_dev // 2  # examples per batch = data-axis size
     elif frame_shard and frame_shard_mode == "shardmap":
@@ -174,6 +185,7 @@ def run_sweep(
             attention_impl=runtime.attention_impl,
             frame_shard_map=mesh,
             controlnet_apply=cn_apply,
+            **approx_kwargs,
         )
         n_dev = n_dev // per_ex_devices
     elif frame_shard:
@@ -222,6 +234,7 @@ def run_sweep(
             attention_impl=runtime.attention_impl,
             frame_sharding=frame_sharding(mesh),
             controlnet_apply=cn_apply,
+            **approx_kwargs,
         )
         n_dev = n_dev // frame_shard  # examples per batch = data-axis size
     else:
