@@ -1,4 +1,4 @@
-"""Benchmark: 16-frame 512x512 guided T2V sampling on one TPU chip.
+"""Benchmark: 16-frame 512x512 guided video sampling on one TPU chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
@@ -6,10 +6,15 @@ The reference publishes no numbers (BASELINE.md); the driver-defined north
 star is < 30 s per guided video on one v5e chip, so ``vs_baseline`` reports
 30 / measured_seconds (>1 means beating the target).
 
-The measured quantity is the full t2v_camera sampling workload
+The headline is the full t2v_camera sampling workload
 (configs/t2v_camera.yaml: 100 DDIM steps, 50 guided with grad-through-UNet)
 plus whole-clip VAE decode, on random bf16 weights (no checkpoints are
 shipped in this environment; FLOP/byte costs are weight-value independent).
+The JSON line additionally carries the reference's other flagship
+schedules: t2v_object (configs/t2v_object.yaml: 300 steps / 180 guided —
+the same compiled step graphs, 3x the step count) and i2v
+(configs/i2v_rgb.yaml: 100 steps / 40 guided, +1 SparseCtrl controlnet
+forward per CFG half per step — reference motionclone_functions.py:190-197).
 """
 
 import json
@@ -184,6 +189,130 @@ def main():
     approx_elapsed = time.time() - t0
     log(f"approx (K_u=5 extrap, K_g=2) sampling: {approx_elapsed:.2f}s/video")
 
+    # ---- t2v_object (configs/t2v_object.yaml: 300 steps / 180 guided).
+    # Same step math and shapes as t2v_camera — chunk_steps=60 tiles both
+    # phases exactly (180 = 3x60, 120 = 2x60), so this compiles two fresh
+    # chunk lengths and then reuses them across all five dispatches.
+    obj_cfg = InferenceConfig(
+        inference_steps=300,
+        guidance_steps=180,
+        guidance_fraction=0.4,
+        warm_up_steps=10,
+        cool_up_steps=10,
+        motion_guidance_weight=2000.0,
+        motion_guidance_blocks=GUIDANCE_BLOCKS,
+        width=512,
+        height=512,
+        video_length=16,
+        cfg_scale=7.5,
+    )
+    fns_obj = make_sampling_fns(unet_cfg, sched_cfg, obj_cfg, dtype=dtype)
+    lat5 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    t0 = time.time()
+    out = fns_obj.sample(
+        params, lat5, uncond, cond, rep, None, None, chunk_steps=60
+    )
+    jax.block_until_ready(decode(vae_params, out.astype(dtype)))
+    log(f"t2v_object compile+first run: {time.time()-t0:.0f}s")
+    lat6 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    t0 = time.time()
+    out = fns_obj.sample(
+        params, lat6, uncond, cond, rep, None, None, chunk_steps=60
+    )
+    np.asarray(decode(vae_params, out.astype(dtype)))
+    obj_elapsed = time.time() - t0
+    log(f"t2v_object sampling: {obj_elapsed:.2f}s/video (300 steps)")
+
+    # ---- i2v (configs/i2v_rgb.yaml: 100 steps / 40 guided, SparseCtrl
+    # latent conditioning — one controlnet forward per CFG half per step).
+    # Random controlnet weights from the shipped production config; this
+    # also demonstrates the guided i2v step (controlnet + grad-through-UNet)
+    # fits the 15.75 GB HBM with the grad-safe attention impl.
+    from motionclone_tpu.config import load_yaml
+    from motionclone_tpu.models.sparse_controlnet import (
+        SparseControlNetConfig,
+        SparseControlNetModel,
+        scatter_condition,
+    )
+    from motionclone_tpu.pipeline.motionclone import make_controlnet_apply
+
+    i2v_cfg = InferenceConfig(
+        inference_steps=100,
+        guidance_steps=40,
+        guidance_fraction=0.3,
+        warm_up_steps=10,
+        cool_up_steps=10,
+        motion_guidance_weight=2000.0,
+        motion_guidance_blocks=GUIDANCE_BLOCKS,
+        width=512,
+        height=512,
+        video_length=16,
+        cfg_scale=7.5,
+    )
+    cn_yaml = load_yaml("/root/repo/configs/sparsectrl/latent_condition.yaml")
+    cn_cfg = SparseControlNetConfig.from_yaml_dict(
+        cn_yaml.get("controlnet_additional_kwargs", {}), unet_cfg
+    )
+    cn_model = SparseControlNetModel(cfg=cn_cfg, dtype=dtype)
+    t0 = time.time()
+    cn_params = jax.jit(
+        lambda: cn_model.init(
+            jax.random.PRNGKey(2),
+            sample0,
+            jnp.array([1]),
+            ctx0,
+            jnp.zeros((1, F, H, W, 4), dtype),
+            jnp.zeros((1, F, H, W, 1), dtype),
+        )
+    )()
+    jax.block_until_ready(cn_params)
+    log(f"controlnet params initialized in {time.time()-t0:.0f}s")
+    fns_i2v = make_sampling_fns(
+        unet_cfg, sched_cfg, i2v_cfg, dtype=dtype,
+        controlnet_apply=make_controlnet_apply(cn_model),
+    )
+    cond_img = jnp.asarray(
+        rng.normal(size=(B, 1, H, W, 4)), jnp.float32
+    ).astype(dtype)
+    cn_cond_t, cn_mask = scatter_condition(cond_img, (0,), F)
+    cn_cond = (cn_cond_t, cn_mask.astype(dtype), 1.0)
+    lat7 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    t0 = time.time()
+    out = fns_i2v.sample(
+        params, lat7, uncond, cond, rep, cn_params, cn_cond, chunk_steps=60
+    )
+    jax.block_until_ready(decode(vae_params, out.astype(dtype)))
+    log(f"i2v compile+first run: {time.time()-t0:.0f}s")
+    lat8 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    t0 = time.time()
+    out = fns_i2v.sample(
+        params, lat8, uncond, cond, rep, cn_params, cn_cond, chunk_steps=60
+    )
+    np.asarray(decode(vae_params, out.astype(dtype)))
+    i2v_elapsed = time.time() - t0
+    log(f"i2v sampling: {i2v_elapsed:.2f}s/video (100 steps + controlnet)")
+
+    # i2v per-phase: dispatch each phase chunk alone with fresh latents
+    gi_xs, vi_xs = fns_i2v.phase_xs
+    lat9 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    t0 = time.time()
+    lat_g = fns_i2v.guided_chunk(
+        params, lat9, uncond, cond, rep, cn_params, cn_cond, gi_xs
+    )
+    float(lat_g.ravel()[0])
+    i2v_guided_ms = (time.time() - t0) * 1000.0 / len(gi_xs[0])
+    t0 = time.time()
+    lat_v = fns_i2v.vanilla_chunk(
+        params, lat_g, uncond, cond, rep, cn_params, cn_cond, vi_xs
+    )
+    float(lat_v.ravel()[0])
+    i2v_vanilla_ms = (time.time() - t0) * 1000.0 / len(vi_xs[0])
+    log(
+        f"i2v phase timing: guided {i2v_guided_ms:.1f} ms/step x "
+        f"{len(gi_xs[0])}, vanilla {i2v_vanilla_ms:.1f} ms/step x "
+        f"{len(vi_xs[0])}"
+    )
+
     print(
         json.dumps(
             {
@@ -196,6 +325,10 @@ def main():
                 "vanilla_ms_per_step": round(vanilla_ms, 1),
                 "approx_uncond5_extrap_guidance2_sec": round(approx_elapsed, 3),
                 "approx_vs_baseline": round(TARGET_SECONDS / approx_elapsed, 3),
+                "t2v_object_sec_per_video": round(obj_elapsed, 3),
+                "i2v_sec_per_video": round(i2v_elapsed, 3),
+                "i2v_guided_ms_per_step": round(i2v_guided_ms, 1),
+                "i2v_vanilla_ms_per_step": round(i2v_vanilla_ms, 1),
             }
         )
     )
