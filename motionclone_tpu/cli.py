@@ -275,6 +275,12 @@ def serve_main(argv: Optional[Sequence[str]] = None) -> None:
         "pass and run them data-parallel over the local chips "
         "(pipeline.sweep). 0 = local device count; 1 = strictly serial",
     )
+    parser.add_argument(
+        "--job-timeout", type=float, default=1800.0,
+        help="per-job wall-clock bound in seconds: a job (or batch) "
+        "exceeding it is failed and the queue keeps draining — a wedged "
+        "TPU dispatch must not freeze the server forever. 0 disables",
+    )
     args = parser.parse_args(argv)
     import jax
 
@@ -339,6 +345,7 @@ def serve_main(argv: Optional[Sequence[str]] = None) -> None:
         host=args.host,
         port=args.port,
         max_queue=args.max_queue,
+        job_timeout=args.job_timeout or None,
     )
     print(
         f"motionclone-serve listening on http://{args.host}:{server.port} "

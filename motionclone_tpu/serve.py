@@ -113,9 +113,14 @@ class JobStore:
 
         finished_at is assigned *before* the status flip and both happen
         under the lock, so any observer that sees a terminal status sees a
-        complete record (to_json's ``seconds`` key included).
+        complete record (to_json's ``seconds`` key included).  Idempotent:
+        a job already terminal stays as-is — the worker's timeout path may
+        fail a job whose detached runner thread later completes, and that
+        late result must not resurrect or double-count it.
         """
         with self._lock:
+            if job.status in _TERMINAL:
+                return
             job.finished_at = time.time()
             if error is None:
                 job.status = "done"
@@ -166,11 +171,42 @@ class JobStore:
             }
 
 
+def _run_with_timeout(fn, timeout: Optional[float]):
+    """Run ``fn()`` and return its result, raising TimeoutError after
+    ``timeout`` seconds.
+
+    A wedged TPU dispatch blocks its thread unkillably (the axon tunnel
+    holds the device claim — CLAUDE.md), so the call runs on a detached
+    daemon thread and the worker abandons it on timeout: the queue keeps
+    draining and the HTTP layer stays live.  The abandoned thread's eventual
+    result is discarded by JobStore.finish's terminal-state guard.
+    """
+    if timeout is None:
+        return fn()
+    box: Dict[str, Any] = {}
+
+    def _call():
+        try:
+            box["result"] = fn()
+        except Exception as e:  # delivered to the waiter below
+            box["error"] = e
+
+    t = threading.Thread(target=_call, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        raise TimeoutError(f"job exceeded {timeout:.0f}s timeout")
+    if "error" in box:
+        raise box["error"]
+    return box["result"]
+
+
 def _worker_loop(
     store: JobStore,
     run_job: Callable[[Dict[str, Any]], str],
     run_jobs_batch: Optional[Callable[[list], list]] = None,
     batch_max: int = 1,
+    job_timeout: Optional[float] = None,
 ) -> None:
     """Drain the FIFO onto the (serial) TPU stream; never dies on job errors.
 
@@ -179,6 +215,9 @@ def _worker_loop(
     the throughput mode for multi-chip hosts, where the batch maps onto the
     data-parallel sweep path (pipeline.sweep.run_sweep) so n chips generate
     n queued videos concurrently.  A lone job still takes the single-job path.
+
+    ``job_timeout`` bounds each job (or batch) end-to-end: on expiry the
+    job(s) fail with a TimeoutError record and the worker moves on.
     """
     while True:
         if store.shutting_down.is_set():
@@ -205,7 +244,10 @@ def _worker_loop(
                 job.started_at = time.time()
         try:
             if len(jobs) > 1:
-                paths = run_jobs_batch([j.example for j in jobs])
+                paths = _run_with_timeout(
+                    lambda: run_jobs_batch([j.example for j in jobs]),
+                    job_timeout,
+                )
                 if len(paths) != len(jobs):
                     raise RuntimeError(
                         f"batch runner returned {len(paths)} paths for "
@@ -215,7 +257,9 @@ def _worker_loop(
                     job.output_path = path
                     store.finish(job)
             else:
-                jobs[0].output_path = run_job(jobs[0].example)
+                jobs[0].output_path = _run_with_timeout(
+                    lambda: run_job(jobs[0].example), job_timeout
+                )
                 store.finish(jobs[0])
         except Exception as e:  # job-scoped: the server must survive bad jobs
             for job in jobs:
@@ -284,12 +328,13 @@ class MotionCloneServer:
         host: str = "127.0.0.1",
         port: int = 0,
         max_queue: int = 64,
+        job_timeout: Optional[float] = None,
     ):
         self.store = JobStore(max_queue=max_queue)
         self.started_at = time.time()
         self._worker = threading.Thread(
             target=_worker_loop,
-            args=(self.store, run_job, run_jobs_batch, batch_max),
+            args=(self.store, run_job, run_jobs_batch, batch_max, job_timeout),
             daemon=True,
         )
         handler = _make_handler(self)

@@ -297,6 +297,97 @@ def test_batch_failure_marks_all_failed_and_lone_job_uses_single_path(tmp_path):
     assert lone.status == "done" and lone.output_path.endswith("single.mp4")
 
 
+def test_job_timeout_fails_wedged_job_and_queue_keeps_draining(tmp_path):
+    """A wedged job (e.g. a hung TPU dispatch) must fail at job_timeout and
+    the worker must keep serving the queue (VERDICT r2 weak #7).  The
+    abandoned runner thread's late completion must not resurrect the
+    timed-out job (JobStore.finish terminal-state guard)."""
+    wedge = threading.Event()
+
+    def run_job(example):
+        if example["new_prompt"] == "wedged":
+            wedge.wait(timeout=30)  # far beyond the job timeout
+            return str(tmp_path / "late.mp4")
+        return str(tmp_path / "ok.mp4")
+
+    srv = MotionCloneServer(run_job, port=0, max_queue=8, job_timeout=0.3)
+    srv.start()
+    try:
+        _, body = _req(
+            srv.port, "/generate",
+            {"video_path": "v.mp4", "new_prompt": "wedged"},
+        )
+        wedged_id = json.loads(body)["job_id"]
+        _, body = _req(
+            srv.port, "/generate", {"video_path": "v.mp4", "new_prompt": "next"}
+        )
+        next_id = json.loads(body)["job_id"]
+
+        failed = _wait_status(srv.port, wedged_id, "failed")
+        assert "timeout" in failed["error"].lower()
+        # the queue keeps draining past the wedged job
+        done = _wait_status(srv.port, next_id, "done")
+        assert done["output_path"].endswith("ok.mp4")
+
+        # late completion of the abandoned thread must not flip the record
+        wedge.set()
+        time.sleep(0.2)
+        _, body = _req(srv.port, f"/jobs/{wedged_id}")
+        rec = json.loads(body)
+        assert rec["status"] == "failed" and rec["output_path"] is None
+        _, text = _req(srv.port, "/metrics")
+        assert "motionclone_jobs_failed 1" in text
+        assert "motionclone_jobs_done 1" in text
+    finally:
+        srv.shutdown()
+
+
+def test_503_on_full_under_concurrent_submit_race(tmp_path):
+    """Submit storm against a tiny queue while the worker is blocked: every
+    response is 202 or 503, the number of job records equals the number of
+    202s exactly (no phantom/lost records under the race), and the store
+    stays bounded (VERDICT r2: 503-on-full behavior under race)."""
+    release = threading.Event()
+
+    def run_job(example):
+        release.wait(timeout=30)
+        return str(tmp_path / "out.mp4")
+
+    srv = MotionCloneServer(run_job, port=0, max_queue=3)
+    srv.start()
+    try:
+        codes, errors = [], []
+        lock = threading.Lock()
+
+        def submitter(i):
+            try:
+                for j in range(4):
+                    code, _ = _req(
+                        srv.port, "/generate",
+                        {"video_path": "v.mp4", "new_prompt": f"p{i}-{j}"},
+                    )
+                    with lock:
+                        codes.append(code)
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=submitter, args=(i,)) for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors
+        assert set(codes) <= {202, 503} and 503 in codes
+        # accepted == records (the running job may no longer be "queued")
+        _, body = _req(srv.port, "/jobs")
+        assert len(json.loads(body)["jobs"]) == codes.count(202)
+        # bounded: 1 running + at most max_queue queued accepted
+        assert codes.count(202) <= 1 + 3 + 1  # +1 for the put/get window
+    finally:
+        release.set()
+        srv.shutdown()
+
+
 def test_validation_rejects_type_malformed_fields():
     """Type-malformed fields must become ValueError (-> HTTP 400), never a
     TypeError that drops the connection (ADVICE r1): int image_index, bare
