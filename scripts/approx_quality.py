@@ -13,7 +13,14 @@ Reported per (K_u, K_g) point: relative L2 error of the final latents,
 PSNR and SSIM of the decoded uint8 frames vs the exact run — one JSON
 line per point.
 
-    python scripts/approx_quality.py [KU:KG ...]   (default: 3:1 5:2)
+    python scripts/approx_quality.py [--workload W] [KU:KG[:w] ...]
+        (default points: 3:1 5:2; W in {t2v_camera, t2v_object, i2v},
+         default t2v_camera)
+
+``--workload t2v_object`` runs the 300-step / 180-guided schedule
+(configs/t2v_object.yaml — cache drift over 3x the guided steps);
+``--workload i2v`` runs the 100/40 SparseCtrl schedule
+(configs/i2v_rgb.yaml) with a per-step controlnet forward.
 """
 
 import json
@@ -50,7 +57,23 @@ def _parse(a):
     return ku, kg, w
 
 
-KS = [_parse(a) for a in sys.argv[1:]] or [(3, 1, 0.0), (5, 2, 0.0)]
+_args = sys.argv[1:]
+WORKLOAD = "t2v_camera"
+if "--workload" in _args:
+    i = _args.index("--workload")
+    WORKLOAD = _args[i + 1]
+    _args = _args[:i] + _args[i + 2:]
+KS = [_parse(a) for a in _args] or [(3, 1, 0.0), (5, 2, 0.0)]
+
+# schedule knobs per shipped config (configs/<workload>.yaml)
+SCHEDULES = {
+    "t2v_camera": dict(inference_steps=100, guidance_steps=50,
+                       guidance_fraction=0.3, chunk_steps=50),
+    "t2v_object": dict(inference_steps=300, guidance_steps=180,
+                       guidance_fraction=0.4, chunk_steps=60),
+    "i2v": dict(inference_steps=100, guidance_steps=40,
+                guidance_fraction=0.3, chunk_steps=60),
+}
 
 
 def log(msg):
@@ -58,18 +81,20 @@ def log(msg):
 
 
 def main():
+    sched = SCHEDULES[WORKLOAD]
+    chunk_steps = sched.pop("chunk_steps")
     unet_cfg = UNet3DConfig()
     infer_cfg = InferenceConfig(
-        inference_steps=100, guidance_steps=50, guidance_fraction=0.3,
         warm_up_steps=10, cool_up_steps=10, motion_guidance_weight=2000.0,
         motion_guidance_blocks=("up_blocks.1",), width=512, height=512,
-        video_length=16, cfg_scale=7.5,
+        video_length=16, cfg_scale=7.5, **sched,
     )
     dtype = jnp.bfloat16
     B, F = 1, infer_cfg.video_length
     H = W = infer_cfg.height // 8
 
-    log(f"devices: {jax.devices()}; comparing exact vs approx {KS}")
+    log(f"devices: {jax.devices()}; workload {WORKLOAD}; "
+        f"comparing exact vs approx {KS}")
     model = UNet3DConditionModel(
         cfg=unet_cfg, guidance_blocks=("up_blocks.1",), dtype=dtype
     )
@@ -88,9 +113,40 @@ def main():
         return jnp.round(video01 * 255.0).astype(jnp.uint8)
 
     decode = jax.jit(_decode_uint8)
+
+    controlnet_apply, cn_params, cn_cond = None, None, None
+    if WORKLOAD == "i2v":
+        from motionclone_tpu.config import load_yaml
+        from motionclone_tpu.models.sparse_controlnet import (
+            SparseControlNetConfig,
+            SparseControlNetModel,
+            scatter_condition,
+        )
+        from motionclone_tpu.pipeline.motionclone import make_controlnet_apply
+
+        cn_yaml = load_yaml("/root/repo/configs/sparsectrl/latent_condition.yaml")
+        cn_cfg = SparseControlNetConfig.from_yaml_dict(
+            cn_yaml.get("controlnet_additional_kwargs", {}), unet_cfg
+        )
+        cn_model = SparseControlNetModel(cfg=cn_cfg, dtype=dtype)
+        cn_params = jax.jit(lambda: cn_model.init(
+            jax.random.PRNGKey(2), jnp.zeros((B, F, H, W, 4), dtype),
+            jnp.array([1]), jnp.zeros((B, 77, 768), dtype),
+            jnp.zeros((B, F, H, W, 4), dtype),
+            jnp.zeros((B, F, H, W, 1), dtype)))()
+        jax.block_until_ready(cn_params)
+        rng_cn = np.random.default_rng(7)
+        cond_img = jnp.asarray(
+            rng_cn.normal(size=(B, 1, H, W, 4)), jnp.float32
+        ).astype(dtype)
+        cn_cond_t, cn_mask = scatter_condition(cond_img, (0,), F)
+        cn_cond = (cn_cond_t, cn_mask.astype(dtype), 1.0)
+        controlnet_apply = make_controlnet_apply(cn_model)
+
     fns = make_sampling_fns(
         unet_cfg, NoiseScheduleConfig(), infer_cfg, dtype=dtype,
         uncond_interval=2, guidance_interval=2,
+        controlnet_apply=controlnet_apply,
     )
 
     rng = np.random.default_rng(0)
@@ -111,7 +167,8 @@ def main():
             )
 
     def run(ku, kg, w=0.0):
-        out = fns.sample(params, latents, uncond, cond, rep, None, None,
+        out = fns.sample(params, latents, uncond, cond, rep, cn_params,
+                         cn_cond, chunk_steps=chunk_steps,
                          uncond_refresh=ku, guidance_refresh=kg,
                          uncond_extrap_w=w)
         frames = np.asarray(decode(vae_params, out.astype(dtype)))
@@ -138,6 +195,7 @@ def main():
             f"ssim={ss:.4f} ({time.time()-t0:.0f}s)")
         print(json.dumps({
             "metric": f"approx_deviation_uncond{ku}_guidance{kg}{tag}",
+            "workload": WORKLOAD,
             "latent_rel_l2": round(rel_l2, 5),
             "decoded_psnr_db": round(ps, 2),
             "decoded_ssim": round(ss, 4),
