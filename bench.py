@@ -43,13 +43,30 @@ from motionclone_tpu.pipeline.motionclone import make_sampling_fns  # noqa: E402
 GUIDANCE_BLOCKS = ("up_blocks.1",)
 TARGET_SECONDS = 30.0
 
+# --smoke: tiny model on the CPU backend — validates every section's
+# plumbing (schedules, chunking, controlnet wiring, the overlapped fetch)
+# in minutes, so a bench-code error can never surface for the first time
+# on the driver's real-TPU run.  Timings meaningless.  Forced via
+# jax.config (env vars are too late: sitecustomize imports jax first).
+SMOKE = "--smoke" in sys.argv
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
 def main():
-    unet_cfg = UNet3DConfig()
+    if SMOKE:
+        from motionclone_tpu.config import tiny_unet_config
+
+        unet_cfg = tiny_unet_config()
+        size, n_frames = 64, 4
+    else:
+        unet_cfg = UNet3DConfig()
+        size, n_frames = 512, 16
+    ctx_dim = unet_cfg.cross_attention_dim
     sched_cfg = NoiseScheduleConfig()
     # t2v_camera knobs (configs/t2v_camera.yaml)
     infer_cfg = InferenceConfig(
@@ -60,9 +77,9 @@ def main():
         cool_up_steps=10,
         motion_guidance_weight=2000.0,
         motion_guidance_blocks=GUIDANCE_BLOCKS,
-        width=512,
-        height=512,
-        video_length=16,
+        width=size,
+        height=size,
+        video_length=n_frames,
         cfg_scale=7.5,
     )
     dtype = jnp.bfloat16
@@ -84,7 +101,7 @@ def main():
         cfg=unet_cfg, guidance_blocks=GUIDANCE_BLOCKS, dtype=dtype
     )
     sample0 = jnp.zeros((B, F, H, W, 4), dtype)
-    ctx0 = jnp.zeros((B, 77, 768), dtype)
+    ctx0 = jnp.zeros((B, 77, ctx_dim), dtype)
     t0 = time.time()
     params = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), sample0, jnp.array([1]), ctx0)
@@ -92,11 +109,16 @@ def main():
     jax.block_until_ready(params)
     log(f"unet params initialized in {time.time()-t0:.0f}s")
 
-    vae_cfg = VAEConfig()
+    if SMOKE:
+        from motionclone_tpu.models.vae import tiny_vae_config
+
+        vae_cfg = tiny_vae_config()
+    else:
+        vae_cfg = VAEConfig()
     vae = AutoencoderKL(cfg=vae_cfg, dtype=dtype)
     t0 = time.time()
     vae_params = jax.jit(
-        lambda: vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 64, 64, 3), dtype))
+        lambda: vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 16, 16, 3), dtype))
     )()
     jax.block_until_ready(vae_params)
     log(f"vae params initialized in {time.time()-t0:.0f}s")
@@ -108,38 +130,49 @@ def main():
 
     decode = jax.jit(_decode_uint8)
 
+    def fetch_video(z, n_chunks=2):
+        """Decode + fetch the clip in frame slices: the host fetch of slice
+        i overlaps slice i+1's device execution (async dispatch), hiding
+        decode time behind the unavoidable ~12.6 MB uint8 fetch."""
+        parts = jnp.split(z.astype(dtype), n_chunks, axis=1)
+        outs = [decode(vae_params, p) for p in parts]
+        return np.concatenate([np.asarray(o) for o in outs], axis=1)
+
     fns = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=dtype)
 
     rng = np.random.default_rng(0)
     latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
-    uncond = jnp.asarray(rng.normal(size=(B, 77, 768)), jnp.float32).astype(dtype)
-    cond = jnp.asarray(rng.normal(size=(B, 77, 768)), jnp.float32).astype(dtype)
-    s_hw = 16 * 16  # up_blocks.1 spatial positions at 512^2
-    rep = {}
-    for m in range(3):
-        for a in range(2):
-            name = (
-                f"up_blocks.1.motion_modules.{m}.temporal_transformer"
-                f".transformer_blocks.0.attention_blocks.{a}"
-            )
-            rep[name] = (
-                jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, 8, F, 1)), jnp.float32),
-                jnp.asarray(rng.integers(0, F, size=(B, s_hw, 8, F, 1)), np.uint8),
-            )
+    uncond = jnp.asarray(rng.normal(size=(B, 77, ctx_dim)), jnp.float32).astype(dtype)
+    cond = jnp.asarray(rng.normal(size=(B, 77, ctx_dim)), jnp.float32).astype(dtype)
+    if SMOKE:
+        # real extraction gives the correctly-shaped rep for any config
+        noise = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+        rep = fns.extract(params, latents, noise, uncond, None, None)
+    else:
+        s_hw = 16 * 16  # up_blocks.1 spatial positions at 512^2
+        rep = {}
+        for m in range(3):
+            for a in range(2):
+                name = (
+                    f"up_blocks.1.motion_modules.{m}.temporal_transformer"
+                    f".transformer_blocks.0.attention_blocks.{a}"
+                )
+                rep[name] = (
+                    jnp.asarray(rng.uniform(0.2, 0.9, size=(B, s_hw, 8, F, 1)), jnp.float32),
+                    jnp.asarray(rng.integers(0, F, size=(B, s_hw, 8, F, 1)), np.uint8),
+                )
 
     # warm-up: compile sampling scan + decode
     t0 = time.time()
     out = fns.sample(params, latents, uncond, cond, rep, None, None)
-    frames = decode(vae_params, out.astype(dtype))
-    jax.block_until_ready(frames)
+    jax.block_until_ready(fetch_video(out))
     log(f"compile+first run: {time.time()-t0:.0f}s")
 
     # timed run (different seed latents so nothing can be elided)
     latents2 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
     t0 = time.time()
     out = fns.sample(params, latents2, uncond, cond, rep, None, None)
-    frames = decode(vae_params, out.astype(dtype))
-    np.asarray(frames)  # force fetch
+    fetch_video(out)  # decode + full host fetch
     elapsed = time.time() - t0
     steps_per_sec = infer_cfg.inference_steps / elapsed
     log(
@@ -177,7 +210,7 @@ def main():
         params, latents, uncond, cond, rep, None, None,
         uncond_refresh=5, guidance_refresh=2, uncond_extrap_w=1.0,
     )
-    jax.block_until_ready(decode(vae_params, out.astype(dtype)))
+    jax.block_until_ready(fetch_video(out))
     log(f"approx compile+first run: {time.time()-t0:.0f}s")
     lat4 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
     t0 = time.time()
@@ -185,7 +218,7 @@ def main():
         params, lat4, uncond, cond, rep, None, None,
         uncond_refresh=5, guidance_refresh=2, uncond_extrap_w=1.0,
     )
-    np.asarray(decode(vae_params, out.astype(dtype)))
+    fetch_video(out)
     approx_elapsed = time.time() - t0
     log(f"approx (K_u=5 extrap, K_g=2) sampling: {approx_elapsed:.2f}s/video")
 
@@ -201,9 +234,9 @@ def main():
         cool_up_steps=10,
         motion_guidance_weight=2000.0,
         motion_guidance_blocks=GUIDANCE_BLOCKS,
-        width=512,
-        height=512,
-        video_length=16,
+        width=size,
+        height=size,
+        video_length=n_frames,
         cfg_scale=7.5,
     )
     fns_obj = make_sampling_fns(unet_cfg, sched_cfg, obj_cfg, dtype=dtype)
@@ -212,14 +245,14 @@ def main():
     out = fns_obj.sample(
         params, lat5, uncond, cond, rep, None, None, chunk_steps=60
     )
-    jax.block_until_ready(decode(vae_params, out.astype(dtype)))
+    jax.block_until_ready(fetch_video(out))
     log(f"t2v_object compile+first run: {time.time()-t0:.0f}s")
     lat6 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
     t0 = time.time()
     out = fns_obj.sample(
         params, lat6, uncond, cond, rep, None, None, chunk_steps=60
     )
-    np.asarray(decode(vae_params, out.astype(dtype)))
+    fetch_video(out)
     obj_elapsed = time.time() - t0
     log(f"t2v_object sampling: {obj_elapsed:.2f}s/video (300 steps)")
 
@@ -244,15 +277,26 @@ def main():
         cool_up_steps=10,
         motion_guidance_weight=2000.0,
         motion_guidance_blocks=GUIDANCE_BLOCKS,
-        width=512,
-        height=512,
-        video_length=16,
+        width=size,
+        height=size,
+        video_length=n_frames,
         cfg_scale=7.5,
     )
     cn_yaml = load_yaml("/root/repo/configs/sparsectrl/latent_condition.yaml")
     cn_cfg = SparseControlNetConfig.from_yaml_dict(
         cn_yaml.get("controlnet_additional_kwargs", {}), unet_cfg
     )
+    if SMOKE:
+        # the yaml's motion-module kwargs assume production channel counts
+        # (32 norm groups, 8 heads); shrink them to the tiny topology
+        import dataclasses
+
+        cn_cfg = dataclasses.replace(
+            cn_cfg,
+            motion_module=dataclasses.replace(
+                cn_cfg.motion_module, num_attention_heads=2, norm_num_groups=4
+            ),
+        )
     cn_model = SparseControlNetModel(cfg=cn_cfg, dtype=dtype)
     t0 = time.time()
     cn_params = jax.jit(
@@ -281,14 +325,14 @@ def main():
     out = fns_i2v.sample(
         params, lat7, uncond, cond, rep, cn_params, cn_cond, chunk_steps=60
     )
-    jax.block_until_ready(decode(vae_params, out.astype(dtype)))
+    jax.block_until_ready(fetch_video(out))
     log(f"i2v compile+first run: {time.time()-t0:.0f}s")
     lat8 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
     t0 = time.time()
     out = fns_i2v.sample(
         params, lat8, uncond, cond, rep, cn_params, cn_cond, chunk_steps=60
     )
-    np.asarray(decode(vae_params, out.astype(dtype)))
+    fetch_video(out)
     i2v_elapsed = time.time() - t0
     log(f"i2v sampling: {i2v_elapsed:.2f}s/video (100 steps + controlnet)")
 
@@ -316,7 +360,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "sec_per_video_t2v_camera_512x512x16f",
+                "metric": (
+                    "SMOKE_tiny_plumbing_check" if SMOKE
+                    else "sec_per_video_t2v_camera_512x512x16f"
+                ),
                 "value": round(elapsed, 3),
                 "unit": "s",
                 "vs_baseline": round(TARGET_SECONDS / elapsed, 3),

@@ -211,3 +211,45 @@ def test_encode_prompt_full_reference_surface():
     for i in range(3):
         np.testing.assert_array_equal(np.asarray(cond[i]), row("a cat"))
         np.testing.assert_array_equal(np.asarray(cond[3 + i]), row("a dog"))
+
+
+def test_decode_latents_overlap_chunks_match_single_call():
+    """The frame-sliced decode (host-fetch overlap) must concatenate to
+    exactly the single-call result, and fall back to one call when the
+    frame count does not split or frames are mesh-sharded."""
+    import jax.numpy as jnp
+
+    rt = object.__new__(MotionCloneRuntime)
+    rt.dtype = jnp.float32
+    rt.vae_params = None
+    rt.frame_sharding = None
+    rt.frame_shard_map = None
+    calls = []
+
+    def fake_decode(p, z):
+        calls.append(z.shape)
+        # per-frame deterministic "decode": broadcast to a pixel grid
+        return jnp.tile(z[..., :3], (1, 1, 2, 2, 1)) * 2.0
+
+    rt._vae_decode = fake_decode
+
+    z = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 4, 8, 8, 4)), jnp.float32
+    )
+    single = rt.decode_latents(z, overlap_chunks=1)
+    calls.clear()
+    split = rt.decode_latents(z, overlap_chunks=2)
+    np.testing.assert_allclose(split, single, rtol=1e-6)
+    assert calls == [(1, 2, 8, 8, 4), (1, 2, 8, 8, 4)]
+
+    # odd frame count: falls back to one call
+    z3 = z[:, :3]
+    calls.clear()
+    out = rt.decode_latents(z3, overlap_chunks=2)
+    assert calls == [(1, 3, 8, 8, 4)] and out.shape[0] == 3
+
+    # frame sharding active: falls back to one call
+    rt.frame_sharding = object()
+    calls.clear()
+    rt.decode_latents(z, overlap_chunks=2)
+    assert calls == [(1, 4, 8, 8, 4)]
