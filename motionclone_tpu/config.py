@@ -315,6 +315,35 @@ def load_examples(path: str) -> list:
 # ---------------------------------------------------------------------------
 
 
+def micro_unet_config() -> UNet3DConfig:
+    """A 2-level UNet3D for sharding dry runs (``__graft_entry__.py``).
+
+    Keeps every structural element the multi-chip layouts exercise — a
+    CrossAttn and a plain block on each side, motion modules at every
+    layer, the ``up_blocks.1`` guidance block, skip concats, one
+    down/upsampler — at roughly half the compile-time of
+    :func:`tiny_unet_config` (the dryrun budget is XLA:CPU compile-bound
+    on a 1-CPU driver host; sharding correctness is depth-independent and
+    full-topology coverage lives in the test suite)."""
+    return UNet3DConfig(
+        down_block_types=("CrossAttnDownBlock3D", "DownBlock3D"),
+        up_block_types=("UpBlock3D", "CrossAttnUpBlock3D"),
+        block_out_channels=(8, 16),
+        layers_per_block=1,
+        norm_num_groups=4,
+        cross_attention_dim=16,
+        attention_head_dim=2,
+        motion_module=MotionModuleConfig(
+            num_attention_heads=2,
+            num_transformer_block=1,
+            attention_block_types=("Temporal_Self", "Temporal_Self"),
+            temporal_position_encoding=True,
+            temporal_position_encoding_max_len=24,
+            norm_num_groups=4,
+        ),
+    )
+
+
 def tiny_unet_config() -> UNet3DConfig:
     """A miniature UNet3D with the same topology shape, for fast CPU tests."""
     return UNet3DConfig(
