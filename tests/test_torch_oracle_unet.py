@@ -24,6 +24,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as TF
 
@@ -46,6 +47,7 @@ from test_weights import _flax_path_to_torch_key
 from motionclone_tpu.config import (
     InferenceConfig,
     NoiseScheduleConfig,
+    UNet3DConfig,
     tiny_unet_config,
 )
 from motionclone_tpu.models.unet3d import UNet3DConditionModel
@@ -386,3 +388,67 @@ def test_two_step_guided_pipeline_matches_torch():
 
     assert_close(latents_j, from_torch_video(lat.detach()),
                  atol=2e-3, rtol=2e-3, label="2+2-step pipeline latents")
+
+
+# ---------------------------------------------------------------------------
+# production topology oracle (VERDICT r2 item 7)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_production_topology_forward_matches_torch():
+    """Full torch-oracle forward at the REAL channel topology — 320/640/1280
+    channels, layers_per_block=2, 32 norm groups, 8 heads, ctx dim 768, 77
+    tokens — at reduced spatial size (64x64 pixels -> 8x8 latents) so the
+    f32 CPU run stays tractable.  Spatial size only changes attention
+    sequence lengths; every channel count, head split, GroupNorm grouping,
+    skip-concat width, and (critically) every shape-dependent branch of the
+    checkpoint remap (``unet_params_from_state_dict``) is the production
+    one — closing SURVEY §7 hard part 1 at real channel counts (the fast
+    oracle suite runs only ``tiny_unet_config``).
+
+    Torch side: the same hand-rolled functional network
+    (reference unet.py:320-475 forward ordering), driven from one synthetic
+    diffusers-layout state dict that the flax side loads through the
+    production conversion path."""
+    cfg = UNet3DConfig()  # defaults ARE the production topology
+    B_, F_p, HW_p = 1, 4, 8  # 64x64 pixels -> 8x8 latents
+    x_shape = (B_, F_p, HW_p, HW_p, cfg.in_channels)
+
+    model = UNet3DConditionModel(cfg=cfg, guidance_blocks=GUIDANCE,
+                                 attention_impl="xla", dtype=jnp.float32)
+    init = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros(x_shape), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((B_, 77, cfg.cross_attention_dim)),
+        )
+    )
+    sd = synth_scaled_sd(init, seed=200)
+    params = unet_params_from_state_dict(sd, cfg)
+    sd_t = {k: torch.from_numpy(v) for k, v in sd.items()}
+
+    r = rng(201)
+    x = randn(r, *x_shape)
+    ctx = randn(r, B_, 77, cfg.cross_attention_dim)
+    t = 401
+
+    pred, probs = model.apply(params, jnp.asarray(x), jnp.asarray(t),
+                              jnp.asarray(ctx))
+    expected_pred, expected_probs = t_unet_forward(
+        sd_t, cfg, to_torch_video(x), t, torch.from_numpy(ctx),
+        guidance_blocks=GUIDANCE,
+    )
+
+    # f32 end-to-end; the production net is ~4x deeper/wider than the tiny
+    # oracle so accumulated reduction error is larger — tolerances scaled
+    # accordingly but still far below any structural-mismatch signal
+    assert_close(pred, from_torch_video(expected_pred), atol=2e-3, rtol=1e-3,
+                 label="production unet noise_pred")
+    assert sorted(probs) == sorted(expected_probs)
+    # up_blocks.1: (layers_per_block + 1) = 3 motion modules x 2 attn blocks
+    assert len(probs) == 6
+    for k in probs:
+        assert probs[k].shape == (B_, 2 * 2, 8, F_p, F_p)
+        assert_close(probs[k], expected_probs[k], atol=5e-4, rtol=5e-4,
+                     label=f"production probs {k}")
