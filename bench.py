@@ -200,15 +200,17 @@ def main():
     # opt-in approx mode (--approx uncond-extrap:5,guidance-cache:2): the
     # output-changing cross-step caches with first-order uncond
     # extrapolation (free, cuts the deviation — PERF.md "Opt-in approx
-    # modes"), reported as separate keys so the headline stays exact
+    # modes"), reported as separate keys so the headline stays exact.
+    # ONE build (intervals are runtime inputs) serves every point below.
     fns_approx = make_sampling_fns(
         unet_cfg, sched_cfg, infer_cfg, dtype=dtype,
-        uncond_interval=2, guidance_interval=2,
+        uncond_interval=2, guidance_interval=2, step_interval=2,
     )
     t0 = time.time()
     out = fns_approx.sample(
         params, latents, uncond, cond, rep, None, None,
         uncond_refresh=5, guidance_refresh=2, uncond_extrap_w=1.0,
+        step_refresh=1,
     )
     jax.block_until_ready(fetch_video(out))
     log(f"approx compile+first run: {time.time()-t0:.0f}s")
@@ -217,10 +219,38 @@ def main():
     out = fns_approx.sample(
         params, lat4, uncond, cond, rep, None, None,
         uncond_refresh=5, guidance_refresh=2, uncond_extrap_w=1.0,
+        step_refresh=1,
     )
     fetch_video(out)
     approx_elapsed = time.time() - t0
     log(f"approx (K_u=5 extrap, K_g=2) sampling: {approx_elapsed:.2f}s/video")
+
+    # whole-step cache (--approx step-extrap:2): the full step runs every
+    # other step, skip steps extrapolate the combined noise prediction and
+    # run only the DDIM update — alone, and composed with the finer caches
+    lat4b = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    t0 = time.time()
+    out = fns_approx.sample(
+        params, lat4b, uncond, cond, rep, None, None,
+        uncond_refresh=1, guidance_refresh=1, step_refresh=2,
+        step_extrap_w=1.0,
+    )
+    fetch_video(out)
+    step2_elapsed = time.time() - t0
+    log(f"approx (step-extrap:2) sampling: {step2_elapsed:.2f}s/video")
+    lat4c = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    t0 = time.time()
+    out = fns_approx.sample(
+        params, lat4c, uncond, cond, rep, None, None,
+        uncond_refresh=5, guidance_refresh=2, uncond_extrap_w=1.0,
+        step_refresh=2, step_extrap_w=1.0,
+    )
+    fetch_video(out)
+    composed_elapsed = time.time() - t0
+    log(
+        f"approx (K_u=5 extrap, K_g=2, step-extrap:2) sampling: "
+        f"{composed_elapsed:.2f}s/video"
+    )
 
     # ---- t2v_object (configs/t2v_object.yaml: 300 steps / 180 guided).
     # Same step math and shapes as t2v_camera — chunk_steps=60 tiles both
@@ -372,6 +402,11 @@ def main():
                 "vanilla_ms_per_step": round(vanilla_ms, 1),
                 "approx_uncond5_extrap_guidance2_sec": round(approx_elapsed, 3),
                 "approx_vs_baseline": round(TARGET_SECONDS / approx_elapsed, 3),
+                "approx_step2_extrap_sec": round(step2_elapsed, 3),
+                "approx_composed_step2_sec": round(composed_elapsed, 3),
+                "approx_composed_vs_baseline": round(
+                    TARGET_SECONDS / composed_elapsed, 3
+                ),
                 "t2v_object_sec_per_video": round(obj_elapsed, 3),
                 "i2v_sec_per_video": round(i2v_elapsed, 3),
                 "i2v_guided_ms_per_step": round(i2v_guided_ms, 1),

@@ -113,8 +113,14 @@ def build_parser(
         "cached gradient is re-applied with the current ramp. "
         "'uncond-extrap[:K]': like uncond-cache but the cached prediction "
         "is linearly extrapolated in timestep space between refreshes "
-        "(lower deviation, same speed). Combine with a comma: "
-        "'uncond-extrap:3,guidance-cache:2'",
+        "(lower deviation, same speed). 'step-cache[:K]': run the FULL "
+        "step (controlnet + uncond + cond/grad) every K steps (default 2) "
+        "and in between hold the cached combined noise prediction — only "
+        "the DDIM update runs on skip steps. 'step-extrap[:K]': like "
+        "step-cache but the held prediction is linearly extrapolated from "
+        "the last two full steps (a linear-multistep solver on skip "
+        "steps; lower deviation, same speed). Combine with a comma: "
+        "'uncond-extrap:3,guidance-cache:2' or 'step-extrap:2'",
     )
     parser.add_argument(
         "--weights-cache",
@@ -128,28 +134,39 @@ def build_parser(
     return parser
 
 
-_APPROX_DEFAULTS = {"uncond-cache": 3, "uncond-extrap": 3, "guidance-cache": 2}
+_APPROX_DEFAULTS = {
+    "uncond-cache": 3,
+    "uncond-extrap": 3,
+    "guidance-cache": 2,
+    "step-cache": 2,
+    "step-extrap": 2,
+}
 
 
 def parse_approx(spec: str) -> tuple:
     """'--approx MODE[:K][,MODE[:K]]' ->
-    (uncond_interval, guidance_interval, uncond_extrap).
+    (uncond_interval, guidance_interval, uncond_extrap, step_interval,
+    step_extrap).
 
     Modes: ``uncond-cache`` (cross-step uncond-prediction cache),
     ``uncond-extrap`` (the same cache, linearly extrapolated in timestep
-    space between refreshes — lower deviation at the same speed) and
-    ``guidance-cache`` (cross-step motion-guidance-gradient cache); an
-    interval of 1 means that cache is off.
+    space between refreshes — lower deviation at the same speed),
+    ``guidance-cache`` (cross-step motion-guidance-gradient cache), and
+    ``step-cache`` / ``step-extrap`` (whole-step cache: the full step runs
+    every K steps, in between the held/extrapolated combined noise
+    prediction drives the DDIM update alone); an interval of 1 means that
+    cache is off.
     """
-    intervals = {"uncond-cache": 1, "uncond-extrap": 1, "guidance-cache": 1}
+    intervals = dict.fromkeys(_APPROX_DEFAULTS, 1)
     if not spec:
-        return 1, 1, 0.0
+        return 1, 1, 0.0, 1, 0.0
     for part in spec.split(","):
         name, _, k = part.strip().partition(":")
         if name not in _APPROX_DEFAULTS:
             raise SystemExit(
                 f"unknown --approx mode {name!r} (supported: "
-                f"uncond-cache[:K], uncond-extrap[:K], guidance-cache[:K])"
+                f"uncond-cache[:K], uncond-extrap[:K], guidance-cache[:K], "
+                f"step-cache[:K], step-extrap[:K])"
             )
         interval = int(k) if k else _APPROX_DEFAULTS[name]
         if interval < 2:
@@ -160,9 +177,16 @@ def parse_approx(spec: str) -> tuple:
             "--approx uncond-cache and uncond-extrap are the same cache "
             "(held vs extrapolated) — pick one"
         )
+    if intervals["step-cache"] > 1 and intervals["step-extrap"] > 1:
+        raise SystemExit(
+            "--approx step-cache and step-extrap are the same cache "
+            "(held vs extrapolated) — pick one"
+        )
     extrap = 1.0 if intervals["uncond-extrap"] > 1 else 0.0
     uncond_k = max(intervals["uncond-cache"], intervals["uncond-extrap"])
-    return uncond_k, intervals["guidance-cache"], extrap
+    step_w = 1.0 if intervals["step-extrap"] > 1 else 0.0
+    step_k = max(intervals["step-cache"], intervals["step-extrap"])
+    return uncond_k, intervals["guidance-cache"], extrap, step_k, step_w
 
 
 def _setup(args, cfg=None):
@@ -178,7 +202,7 @@ def _setup(args, cfg=None):
             args.inference_config, width=args.W, height=args.H,
             video_length=args.L,
         )
-    uncond_k, guidance_k, uncond_extrap = parse_approx(
+    uncond_k, guidance_k, uncond_extrap, step_k, step_extrap = parse_approx(
         getattr(args, "approx", "")
     )
     os.makedirs(args.generated_videos_save_dir, exist_ok=True)
@@ -198,6 +222,8 @@ def _setup(args, cfg=None):
         uncond_interval=uncond_k,
         guidance_interval=guidance_k,
         uncond_extrap=uncond_extrap,
+        step_interval=step_k,
+        step_extrap=step_extrap,
         weights_cache=args.weights_cache,
     )
     return cfg, runtime

@@ -125,6 +125,8 @@ def make_sampling_fns(
     uncond_interval: int = 1,
     guidance_interval: int = 1,
     uncond_extrap: float = 0.0,
+    step_interval: int = 1,
+    step_extrap: float = 0.0,
 ) -> SamplingFns:
     """Build the jitted extract/sample functions for one workload config.
 
@@ -230,21 +232,47 @@ def make_sampling_fns(
     #   timestep space from the last two refresh anchors — cancels the
     #   first-order drift of the hold-the-cache deviation for free (a few
     #   elementwise ops on one (B,F,H,W,4) buffer).
-    # Intervals and the extrapolation weight are runtime data (per-step
+    # * step_interval > 1: the coarsest cache — the FULL step (controlnet +
+    #   uncond + cond/grad) runs every K steps; in between the final
+    #   combined noise prediction is extrapolated from the last two full
+    #   steps' anchors and only the DDIM update runs (a linear-multistep
+    #   solver on skip steps), with the cached raw guidance gradient
+    #   re-applied under the current step's ramp.  Composes with the finer
+    #   caches: they act on the steps the step cache does run.
+    # * step_extrap: the extrapolation weight for the step cache's noise
+    #   prediction (0 = zero-order hold, 1 = first-order).
+    # Intervals and the extrapolation weights are runtime data (per-step
     # scan-xs columns), so one compiled approx executable serves every
-    # (K_u, K_g, w) point.
+    # (K_u, K_g, K_s, w) point.
     if uncond_interval < 1:
         raise ValueError(f"uncond_interval must be >= 1, got {uncond_interval}")
     if guidance_interval < 1:
         raise ValueError(
             f"guidance_interval must be >= 1, got {guidance_interval}"
         )
+    if step_interval < 1:
+        raise ValueError(f"step_interval must be >= 1, got {step_interval}")
     if uncond_extrap and uncond_interval == 1:
         raise ValueError(
             "uncond_extrap extrapolates the uncond cache: build "
             "make_sampling_fns(..., uncond_interval>1) to enable it"
         )
-    approx_guided = uncond_interval > 1 or guidance_interval > 1
+    if step_extrap and step_interval == 1:
+        raise ValueError(
+            "step_extrap extrapolates the step cache: build "
+            "make_sampling_fns(..., step_interval>1) to enable it"
+        )
+    approx_guided = (
+        uncond_interval > 1 or guidance_interval > 1 or step_interval > 1
+    )
+    # the vanilla phase has two cache levers: the uncond forward and the
+    # whole-step skip (the guidance cache is a guided-phase concept)
+    approx_vanilla = uncond_interval > 1 or step_interval > 1
+    # the whole-step skip wraps the step body in an outer lax.cond and
+    # threads noise-pred anchors through the carry; builds without it keep
+    # the plain approx graph (same executables/numerics as before), so the
+    # step cache is a build-time opt-in like the other approx modes
+    step_cache = step_interval > 1
     if approx_guided and (cfg_pair_sharding is not None or smap_cfg_pair):
         raise ValueError(
             "the cross-step caches (--approx) do not compose with CFG-pair "
@@ -727,148 +755,292 @@ def make_sampling_fns(
         def guided_step_approx(carry, step):
             """Guided step with the cross-step caches: carry is (latents,
             uncond-cache anchors (u_last, u_prev, t_last, t_prev, n_ref),
-            cached raw guidance gradient); the per-step scan inputs
-            ``refresh_u`` / ``refresh_g`` decide between fresh work and the
-            caches, and ``extrap_w`` weights the first-order uncond
-            extrapolation (0 = plain held cache).  With all flags True this
-            computes the exact step's math (what lets one executable serve
-            every interval, including 1)."""
-            latents, u_last, u_prev, t_last, t_prev, n_ref, prev_g = carry
-            t, tp, ramp, refresh_u, refresh_g, extrap_w = step
+            cached raw guidance gradient, noise-pred anchors (np_last,
+            np_prev, tn_last, tn_prev, n_np)); the per-step scan inputs
+            ``refresh_u`` / ``refresh_g`` / ``refresh_s`` decide between
+            fresh work and the caches, and ``extrap_w`` / ``step_w`` weight
+            the first-order extrapolations (0 = plain held cache).  When
+            ``refresh_s`` is False the ENTIRE step's model work (controlnet
+            + uncond + cond/grad) is skipped: the combined noise prediction
+            is extrapolated from the last two full steps and the cached raw
+            gradient is re-applied under this step's ramp, so only the DDIM
+            update runs.  With all flags True this computes the exact
+            step's math (what lets one executable serve every interval,
+            including 1).
+
+            Builds without the step cache (``step_interval == 1``) carry
+            no noise-pred anchors and take no ``refresh_s``/``step_w``
+            columns — the step body traces inline (no outer cond), so the
+            compiled graph is exactly the finer-caches-only one."""
+            if step_cache:
+                (
+                    latents,
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                    prev_g,
+                    np_last, np_prev, tn_last, tn_prev, n_np,
+                ) = carry
+                (
+                    t, tp, ramp,
+                    refresh_u, refresh_g, extrap_w, refresh_s, step_w,
+                ) = step
+            else:
+                (
+                    latents,
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                    prev_g,
+                ) = carry
+                t, tp, ramp, refresh_u, refresh_g, extrap_w = step
+                z0 = jnp.zeros((), jnp.float32)
+                np_last = np_prev = jnp.zeros_like(latents)
+                tn_last = tn_prev = n_np = z0
+                step_w = z0
             latents = frame_constrain(latents)
-            cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
             t_f = t.astype(jnp.float32)
 
-            def fresh_u(operand):
-                lat, u_last, u_prev, t_last, t_prev, n_ref = operand
-                up, _ = plain_unet.apply(
-                    params,
+            def full_step(operand):
+                (
                     lat,
-                    t,
-                    uncond_emb,
-                    down_block_residuals=cn_u[0],
-                    mid_block_residual=cn_u[1],
-                )
-                return up, up, u_last, t_f, t_last, n_ref + 1.0
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                    prev_g,
+                    np_last, np_prev, tn_last, tn_prev, n_np,
+                ) = operand
+                cn_u, cn_c = controlnet_residuals(lat, t, emb_pair)
 
-            def stale_u(operand):
-                lat, u_last, u_prev, t_last, t_prev, n_ref = operand
+                def fresh_u(op):
+                    lat, u_last, u_prev, t_last, t_prev, n_ref = op
+                    up, _ = plain_unet.apply(
+                        params,
+                        lat,
+                        t,
+                        uncond_emb,
+                        down_block_residuals=cn_u[0],
+                        mid_block_residual=cn_u[1],
+                    )
+                    return up, up, u_last, t_f, t_last, n_ref + 1.0
+
+                def stale_u(op):
+                    lat, u_last, u_prev, t_last, t_prev, n_ref = op
+                    est = _extrapolate(
+                        u_last, u_prev, t_last, t_prev, n_ref, t_f, extrap_w
+                    )
+                    return est, u_last, u_prev, t_last, t_prev, n_ref
+
+                (
+                    uncond_pred, u_last, u_prev, t_last, t_prev, n_ref,
+                ) = jax.lax.cond(
+                    refresh_u, fresh_u, stale_u,
+                    (lat, u_last, u_prev, t_last, t_prev, n_ref),
+                )
+
+                def fresh_g(op):
+                    lat, _ = op
+                    (loss, cond_pred), raw = grad_fn(
+                        params, lat, t, cond_emb, motion_rep, cn_c
+                    )
+                    return cond_pred, raw, loss.astype(jnp.float32)
+
+                def stale_g(op):
+                    # cond_pred is still needed every full step (it is the
+                    # CFG base); a plain fused forward supplies it while
+                    # the raw gradient comes from the cache
+                    lat, pg = op
+                    cond_pred, _ = plain_unet.apply(
+                        params,
+                        lat,
+                        t,
+                        cond_emb,
+                        down_block_residuals=cn_c[0],
+                        mid_block_residual=cn_c[1],
+                    )
+                    return cond_pred, pg, jnp.zeros((), jnp.float32)
+
+                cond_pred, raw_grad, loss = jax.lax.cond(
+                    refresh_g, fresh_g, stale_g, (lat, prev_g)
+                )
+                noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
+                return (
+                    noise_pred, raw_grad, loss,
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                    noise_pred, np_last, t_f, tn_last, n_np + 1.0,
+                )
+
+            def skip_step(operand):
+                (
+                    lat,
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                    prev_g,
+                    np_last, np_prev, tn_last, tn_prev, n_np,
+                ) = operand
                 est = _extrapolate(
-                    u_last, u_prev, t_last, t_prev, n_ref, t_f, extrap_w
+                    np_last, np_prev, tn_last, tn_prev, n_np, t_f, step_w
                 )
-                return est, u_last, u_prev, t_last, t_prev, n_ref
+                return (
+                    est, prev_g, jnp.zeros((), jnp.float32),
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                    np_last, np_prev, tn_last, tn_prev, n_np,
+                )
 
-            uncond_pred, u_last, u_prev, t_last, t_prev, n_ref = jax.lax.cond(
-                refresh_u, fresh_u, stale_u,
-                (latents, u_last, u_prev, t_last, t_prev, n_ref),
+            operand = (
+                latents,
+                u_last, u_prev, t_last, t_prev, n_ref,
+                prev_g,
+                np_last, np_prev, tn_last, tn_prev, n_np,
             )
-
-            def fresh_g(operand):
-                lat, _ = operand
-                (loss, cond_pred), raw = grad_fn(
-                    params, lat, t, cond_emb, motion_rep, cn_c
-                )
-                return cond_pred, raw, loss.astype(jnp.float32)
-
-            def stale_g(operand):
-                # cond_pred is still needed every step (it is the CFG
-                # base); a plain fused forward supplies it while the raw
-                # gradient comes from the cache
-                lat, pg = operand
-                cond_pred, _ = plain_unet.apply(
-                    params,
-                    lat,
-                    t,
-                    cond_emb,
-                    down_block_residuals=cn_c[0],
-                    mid_block_residual=cn_c[1],
-                )
-                return cond_pred, pg, jnp.zeros((), jnp.float32)
-
-            cond_pred, raw_grad, loss = jax.lax.cond(
-                refresh_g, fresh_g, stale_g, (latents, prev_g)
-            )
+            if step_cache:
+                res = jax.lax.cond(refresh_s, full_step, skip_step, operand)
+            else:
+                # inline trace: the anchor outputs are never carried, so
+                # XLA dead-code-eliminates them — the old approx graph
+                res = full_step(operand)
+            (
+                noise_pred, raw_grad, loss,
+                u_last, u_prev, t_last, t_prev, n_ref,
+                np_last, np_prev, tn_last, tn_prev, n_np,
+            ) = res
             grad = raw_grad * ramp
-            noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
             new_latents = ddim_step(
                 ddim, noise_pred, t, tp, latents, score=grad, guidance_scale=1.0
             )
-            return (
-                (
-                    frame_constrain(new_latents),
-                    u_last, u_prev, t_last, t_prev, n_ref,
-                    raw_grad,
-                ),
-                loss,
+            new_carry = (
+                frame_constrain(new_latents),
+                u_last, u_prev, t_last, t_prev, n_ref,
+                raw_grad,
             )
+            if step_cache:
+                new_carry = new_carry + (
+                    np_last, np_prev, tn_last, tn_prev, n_np,
+                )
+            return new_carry, loss
 
         def vanilla_step_approx(carry, step):
-            """Vanilla CFG step with the uncond cache: on refresh steps the
-            standard batch-2 pair runs; in between a batch-1 conditional
-            forward pairs with the cached (optionally extrapolated) uncond
-            prediction."""
-            latents, u_last, u_prev, t_last, t_prev, n_ref = carry
-            t, tp, refresh, extrap_w = step
+            """Vanilla CFG step with the cross-step caches: on uncond
+            refresh steps the standard batch-2 pair runs; in between a
+            batch-1 conditional forward pairs with the cached (optionally
+            extrapolated) uncond prediction.  When ``refresh_s`` is False
+            the whole step's model work is skipped and the combined noise
+            prediction is extrapolated from the last two full steps.
+
+            Builds without the step cache carry no noise-pred anchors and
+            take no ``refresh_s``/``step_w`` columns (see
+            guided_step_approx)."""
+            if step_cache:
+                (
+                    latents,
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                    np_last, np_prev, tn_last, tn_prev, n_np,
+                ) = carry
+                t, tp, refresh, extrap_w, refresh_s, step_w = step
+            else:
+                latents, u_last, u_prev, t_last, t_prev, n_ref = carry
+                t, tp, refresh, extrap_w = step
+                z0 = jnp.zeros((), jnp.float32)
+                np_last = np_prev = jnp.zeros_like(latents)
+                tn_last = tn_prev = n_np = z0
+                step_w = z0
             latents = frame_constrain(latents)
-            cn_u, cn_c = controlnet_residuals(latents, t, emb_pair)
             b = latents.shape[0]
             t_f = t.astype(jnp.float32)
 
-            def fresh(operand):
-                lat, u_last, u_prev, t_last, t_prev, n_ref = operand
-                lat2 = jnp.concatenate([lat, lat], axis=0)
-                if cn_u[0] is None:
-                    down_res, mid_res = None, None
-                else:
-                    down_res = tuple(
-                        jnp.concatenate([u, c], axis=0)
-                        for u, c in zip(cn_u[0], cn_c[0])
+            def full_step(operand):
+                (
+                    lat,
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                    np_last, np_prev, tn_last, tn_prev, n_np,
+                ) = operand
+                cn_u, cn_c = controlnet_residuals(lat, t, emb_pair)
+
+                def fresh(op):
+                    lat, u_last, u_prev, t_last, t_prev, n_ref = op
+                    lat2 = jnp.concatenate([lat, lat], axis=0)
+                    if cn_u[0] is None:
+                        down_res, mid_res = None, None
+                    else:
+                        down_res = tuple(
+                            jnp.concatenate([u, c], axis=0)
+                            for u, c in zip(cn_u[0], cn_c[0])
+                        )
+                        mid_res = jnp.concatenate([cn_u[1], cn_c[1]], axis=0)
+                    pred2, _ = plain_unet.apply(
+                        params,
+                        lat2,
+                        t,
+                        emb_pair,
+                        down_block_residuals=down_res,
+                        mid_block_residual=mid_res,
                     )
-                    mid_res = jnp.concatenate([cn_u[1], cn_c[1]], axis=0)
-                pred2, _ = plain_unet.apply(
-                    params,
-                    lat2,
-                    t,
-                    emb_pair,
-                    down_block_residuals=down_res,
-                    mid_block_residual=mid_res,
+                    return (
+                        pred2[:b], pred2[b:],
+                        pred2[:b], u_last, t_f, t_last, n_ref + 1.0,
+                    )
+
+                def stale(op):
+                    lat, u_last, u_prev, t_last, t_prev, n_ref = op
+                    pred, _ = plain_unet.apply(
+                        params,
+                        lat,
+                        t,
+                        cond_emb,
+                        down_block_residuals=cn_c[0],
+                        mid_block_residual=cn_c[1],
+                    )
+                    est = _extrapolate(
+                        u_last, u_prev, t_last, t_prev, n_ref, t_f, extrap_w
+                    )
+                    return est, pred, u_last, u_prev, t_last, t_prev, n_ref
+
+                (
+                    uncond_pred, cond_pred,
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                ) = jax.lax.cond(
+                    refresh, fresh, stale,
+                    (lat, u_last, u_prev, t_last, t_prev, n_ref),
+                )
+                noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
+                return (
+                    noise_pred,
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                    noise_pred, np_last, t_f, tn_last, n_np + 1.0,
+                )
+
+            def skip_step(operand):
+                (
+                    lat,
+                    u_last, u_prev, t_last, t_prev, n_ref,
+                    np_last, np_prev, tn_last, tn_prev, n_np,
+                ) = operand
+                est = _extrapolate(
+                    np_last, np_prev, tn_last, tn_prev, n_np, t_f, step_w
                 )
                 return (
-                    pred2[:b], pred2[b:],
-                    pred2[:b], u_last, t_f, t_last, n_ref + 1.0,
-                )
-
-            def stale(operand):
-                lat, u_last, u_prev, t_last, t_prev, n_ref = operand
-                pred, _ = plain_unet.apply(
-                    params,
-                    lat,
-                    t,
-                    cond_emb,
-                    down_block_residuals=cn_c[0],
-                    mid_block_residual=cn_c[1],
-                )
-                est = _extrapolate(
-                    u_last, u_prev, t_last, t_prev, n_ref, t_f, extrap_w
-                )
-                return est, pred, u_last, u_prev, t_last, t_prev, n_ref
-
-            (
-                uncond_pred, cond_pred,
-                u_last, u_prev, t_last, t_prev, n_ref,
-            ) = jax.lax.cond(
-                refresh, fresh, stale,
-                (latents, u_last, u_prev, t_last, t_prev, n_ref),
-            )
-            noise_pred = cond_pred + cfg_scale * (cond_pred - uncond_pred)
-            new_latents = ddim_step(ddim, noise_pred, t, tp, latents)
-            return (
-                (
-                    frame_constrain(new_latents),
+                    est,
                     u_last, u_prev, t_last, t_prev, n_ref,
-                ),
-                jnp.zeros(()),
+                    np_last, np_prev, tn_last, tn_prev, n_np,
+                )
+
+            operand = (
+                latents,
+                u_last, u_prev, t_last, t_prev, n_ref,
+                np_last, np_prev, tn_last, tn_prev, n_np,
             )
+            if step_cache:
+                res = jax.lax.cond(refresh_s, full_step, skip_step, operand)
+            else:
+                res = full_step(operand)
+            (
+                noise_pred,
+                u_last, u_prev, t_last, t_prev, n_ref,
+                np_last, np_prev, tn_last, tn_prev, n_np,
+            ) = res
+            new_latents = ddim_step(ddim, noise_pred, t, tp, latents)
+            new_carry = (
+                frame_constrain(new_latents),
+                u_last, u_prev, t_last, t_prev, n_ref,
+            )
+            if step_cache:
+                new_carry = new_carry + (
+                    np_last, np_prev, tn_last, tn_prev, n_np,
+                )
+            return new_carry, jnp.zeros(())
 
         if smap_cfg_pair:
             return guided_step_smap_pair, vanilla_step_smap_pair, None, None
@@ -895,20 +1067,23 @@ def make_sampling_fns(
         )
         if approx_guided:
             # approx mode: callers append the per-step (refresh_u,
-            # refresh_g, extrap_w) columns to xs; the caches are
-            # zero-initialized per dispatch and flags[0] is always True,
-            # so chunks stay self-contained (--resume stays well-defined)
+            # refresh_g, extrap_w[, refresh_s, step_w]) columns to xs; the
+            # caches are zero-initialized per dispatch and flags[0] is
+            # always True, so chunks stay self-contained (--resume stays
+            # well-defined)
             z = jnp.zeros((), jnp.float32)
-            (latents, *_), _ = jax.lax.scan(
-                guided_approx,
-                (
-                    latents,
+            init = (
+                latents,
+                jnp.zeros_like(latents), jnp.zeros_like(latents),
+                z, z, z,
+                jnp.zeros_like(latents),
+            )
+            if step_cache:
+                init = init + (
                     jnp.zeros_like(latents), jnp.zeros_like(latents),
                     z, z, z,
-                    jnp.zeros_like(latents),
-                ),
-                xs,
-            )
+                )
+            (latents, *_), _ = jax.lax.scan(guided_approx, init, xs)
         else:
             latents, _ = jax.lax.scan(guided_step, latents, xs)
         return latents
@@ -918,17 +1093,19 @@ def make_sampling_fns(
         _, vanilla_step, _, vanilla_approx = _make_steps(
             params, uncond_emb, cond_emb, motion_rep, cn_params, cn_cond
         )
-        if uncond_interval > 1:
+        if approx_vanilla:
             z = jnp.zeros((), jnp.float32)
-            (latents, *_), _ = jax.lax.scan(
-                vanilla_approx,
-                (
-                    latents,
+            init = (
+                latents,
+                jnp.zeros_like(latents), jnp.zeros_like(latents),
+                z, z, z,
+            )
+            if step_cache:
+                init = init + (
                     jnp.zeros_like(latents), jnp.zeros_like(latents),
                     z, z, z,
-                ),
-                xs,
-            )
+                )
+            (latents, *_), _ = jax.lax.scan(vanilla_approx, init, xs)
         else:
             latents, _ = jax.lax.scan(vanilla_step, latents, xs)
         return latents
@@ -960,16 +1137,20 @@ def make_sampling_fns(
                resume_path: Optional[str] = None, on_chunk=None,
                resume_tag: str = "", uncond_refresh: Optional[int] = None,
                guidance_refresh: Optional[int] = None,
-               uncond_extrap_w: Optional[float] = None):
+               uncond_extrap_w: Optional[float] = None,
+               step_refresh: Optional[int] = None,
+               step_extrap_w: Optional[float] = None):
         _check_smap_cn_cond(cn_cond)
-        # ``uncond_refresh`` / ``guidance_refresh`` override the build-time
-        # refresh intervals at dispatch time (the flags are runtime scan
-        # inputs, so no recompile — scripts/bench_approx.py sweeps the
-        # (K_u, K_g) grid through one executable)
+        # ``uncond_refresh`` / ``guidance_refresh`` / ``step_refresh``
+        # override the build-time refresh intervals at dispatch time (the
+        # flags are runtime scan inputs, so no recompile —
+        # scripts/bench_approx.py sweeps the (K_u, K_g, K_s) grid through
+        # one executable)
         k_refresh = uncond_interval if uncond_refresh is None else uncond_refresh
         g_refresh = (
             guidance_interval if guidance_refresh is None else guidance_refresh
         )
+        s_refresh = step_interval if step_refresh is None else step_refresh
         if uncond_refresh is not None and uncond_interval == 1:
             raise ValueError(
                 "uncond_refresh needs the approx executables: build "
@@ -980,18 +1161,31 @@ def make_sampling_fns(
                 "guidance_refresh needs the approx executables: build "
                 "make_sampling_fns(..., guidance_interval>1)"
             )
+        if step_refresh is not None and step_interval == 1:
+            raise ValueError(
+                "step_refresh needs the approx executables: build "
+                "make_sampling_fns(..., step_interval>1)"
+            )
         if k_refresh < 1:
             raise ValueError(f"uncond_refresh must be >= 1, got {k_refresh}")
         if g_refresh < 1:
             raise ValueError(
                 f"guidance_refresh must be >= 1, got {g_refresh}"
             )
+        if s_refresh < 1:
+            raise ValueError(f"step_refresh must be >= 1, got {s_refresh}")
         if uncond_extrap_w is not None and uncond_interval == 1:
             raise ValueError(
                 "uncond_extrap_w needs the approx executables: build "
                 "make_sampling_fns(..., uncond_interval>1)"
             )
+        if step_extrap_w is not None and step_interval == 1:
+            raise ValueError(
+                "step_extrap_w needs the approx executables: build "
+                "make_sampling_fns(..., step_interval>1)"
+            )
         w_extrap = uncond_extrap if uncond_extrap_w is None else uncond_extrap_w
+        w_step = step_extrap if step_extrap_w is None else step_extrap_w
         total = len(timesteps)
         fingerprint = np.asarray(timesteps, np.int32)
         steps_done = 0
@@ -1029,13 +1223,24 @@ def make_sampling_fns(
                             _refresh_flags(size, g_refresh),
                             _const_col(size, w_extrap),
                         )
-                    elif not is_guided and uncond_interval > 1:
+                        if step_cache:
+                            xs = xs + (
+                                _refresh_flags(size, s_refresh),
+                                _const_col(size, w_step),
+                            )
+                    elif not is_guided and approx_vanilla:
                         # the guidance cache is a guided-phase concept; the
-                        # vanilla phase only ever caches the uncond forward
+                        # vanilla phase caches the uncond forward and the
+                        # whole step
                         xs = xs + (
                             _refresh_flags(size, k_refresh),
                             _const_col(size, w_extrap),
                         )
+                        if step_cache:
+                            xs = xs + (
+                                _refresh_flags(size, s_refresh),
+                                _const_col(size, w_step),
+                            )
                     latents = chunk_fn(
                         params, latents, uncond_emb, cond_emb, motion_rep,
                         cn_params, cn_cond, xs,
@@ -1085,11 +1290,16 @@ def make_sampling_fns(
         while lo < n:
             size = min(chunk_steps, n - lo)
             xs = (ts_plain_j[lo : lo + size], tp_plain_j[lo : lo + size])
-            if uncond_interval > 1:
+            if approx_vanilla:
                 xs = xs + (
                     _refresh_flags(size, uncond_interval),
                     _const_col(size, uncond_extrap),
                 )
+                if step_cache:
+                    xs = xs + (
+                        _refresh_flags(size, step_interval),
+                        _const_col(size, step_extrap),
+                    )
             latents = vanilla_chunk(
                 params, latents, uncond_emb, cond_emb, no_rep,
                 cn_params, cn_cond, xs,
@@ -1208,6 +1418,8 @@ class MotionClonePipeline:
         uncond_interval: int = 1,
         guidance_interval: int = 1,
         uncond_extrap: float = 0.0,
+        step_interval: int = 1,
+        step_extrap: float = 0.0,
     ):
         self.unet_cfg = unet_cfg
         self.sched_cfg = sched_cfg
@@ -1230,6 +1442,8 @@ class MotionClonePipeline:
             uncond_interval=uncond_interval,
             guidance_interval=guidance_interval,
             uncond_extrap=uncond_extrap,
+            step_interval=step_interval,
+            step_extrap=step_extrap,
         )
         # latent placement: both frame-sharding flavors put the frame axis
         # of the (B, F, H, W, C) tensors on the mesh's ``frames`` axis

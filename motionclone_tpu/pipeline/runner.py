@@ -122,6 +122,8 @@ class MotionCloneRuntime:
         uncond_interval: int = 1,
         guidance_interval: int = 1,
         uncond_extrap: float = 0.0,
+        step_interval: int = 1,
+        step_extrap: float = 0.0,
         weights_cache: str = "",
     ):
         """``frame_shard``: split the frame axis of every video tensor over
@@ -153,6 +155,12 @@ class MotionCloneRuntime:
         sets 1.0) — linearly extrapolate the cached uncond prediction in
         timestep space from the last two refresh anchors instead of holding
         it, cancelling the first-order cache deviation at no device cost.
+        ``step_interval``: > 1 enables the OUTPUT-CHANGING whole-step cache
+        (``--approx step-cache:K`` / ``step-extrap:K``): the full step
+        (controlnet + uncond + cond/grad) runs every K steps; in between
+        the combined noise prediction is extrapolated from the last two
+        full steps and only the DDIM update runs.  ``step_extrap`` weights
+        that extrapolation (``step-extrap`` sets 1.0, ``step-cache`` 0.0).
         None of these is ever on by default (BASELINE.md parity requires
         the exact path).
 
@@ -169,6 +177,8 @@ class MotionCloneRuntime:
         self.uncond_interval = uncond_interval
         self.guidance_interval = guidance_interval
         self.uncond_extrap = uncond_extrap
+        self.step_interval = step_interval
+        self.step_extrap = step_extrap
         self.frame_sharding = None
         self.frame_shard_map = None
         self.cfg_pair_sharding = None
@@ -414,6 +424,8 @@ class MotionCloneRuntime:
             uncond_interval=uncond_interval,
             guidance_interval=guidance_interval,
             uncond_extrap=uncond_extrap,
+            step_interval=step_interval,
+            step_extrap=step_extrap,
         )
 
         self._vae_encode = jax.jit(

@@ -101,6 +101,8 @@ def run_sweep(
         uncond_interval=getattr(runtime, "uncond_interval", 1),
         guidance_interval=getattr(runtime, "guidance_interval", 1),
         uncond_extrap=getattr(runtime, "uncond_extrap", 0.0),
+        step_interval=getattr(runtime, "step_interval", 1),
+        step_extrap=getattr(runtime, "step_extrap", 0.0),
     )
 
     # local devices: in a multi-host run each process sweeps only its own

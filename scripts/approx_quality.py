@@ -9,12 +9,13 @@ intervals are runtime scan inputs; refresh=1 refreshes every step, i.e.
 exact math), so the comparison isolates the caching itself, not
 executable-to-executable numerics.
 
-Reported per (K_u, K_g) point: relative L2 error of the final latents,
-PSNR and SSIM of the decoded uint8 frames vs the exact run — one JSON
-line per point.
+Reported per (K_u, K_g, w, K_s, w_s) point: relative L2 error of the
+final latents, PSNR and SSIM of the decoded uint8 frames vs the exact
+run — one JSON line per point.
 
-    python scripts/approx_quality.py [--workload W] [KU:KG[:w] ...]
-        (default points: 3:1 5:2; W in {t2v_camera, t2v_object, i2v},
+    python scripts/approx_quality.py [--workload W] [KU:KG[:w[:KS[:ws]]] ...]
+        (default points: 3:1 5:2; KS = whole-step-cache interval, ws its
+         extrapolation weight; W in {t2v_camera, t2v_object, i2v},
          default t2v_camera)
 
 ``--workload t2v_object`` runs the 300-step / 180-guided schedule
@@ -54,7 +55,9 @@ def _parse(a):
     ku = int(parts[0])
     kg = int(parts[1]) if len(parts) > 1 else 1
     w = float(parts[2]) if len(parts) > 2 else 0.0
-    return ku, kg, w
+    ks = int(parts[3]) if len(parts) > 3 else 1
+    ws = float(parts[4]) if len(parts) > 4 else 0.0
+    return ku, kg, w, ks, ws
 
 
 _args = sys.argv[1:]
@@ -63,7 +66,7 @@ if "--workload" in _args:
     i = _args.index("--workload")
     WORKLOAD = _args[i + 1]
     _args = _args[:i] + _args[i + 2:]
-KS = [_parse(a) for a in _args] or [(3, 1, 0.0), (5, 2, 0.0)]
+KS = [_parse(a) for a in _args] or [(3, 1, 0.0, 1, 0.0), (5, 2, 0.0, 1, 0.0)]
 
 # schedule knobs per shipped config (configs/<workload>.yaml)
 SCHEDULES = {
@@ -145,7 +148,7 @@ def main():
 
     fns = make_sampling_fns(
         unet_cfg, NoiseScheduleConfig(), infer_cfg, dtype=dtype,
-        uncond_interval=2, guidance_interval=2,
+        uncond_interval=2, guidance_interval=2, step_interval=2,
         controlnet_apply=controlnet_apply,
     )
 
@@ -166,11 +169,12 @@ def main():
                             np.uint8),
             )
 
-    def run(ku, kg, w=0.0):
+    def run(ku, kg, w=0.0, ks=1, ws=0.0):
         out = fns.sample(params, latents, uncond, cond, rep, cn_params,
                          cn_cond, chunk_steps=chunk_steps,
                          uncond_refresh=ku, guidance_refresh=kg,
-                         uncond_extrap_w=w)
+                         uncond_extrap_w=w,
+                         step_refresh=ks, step_extrap_w=ws)
         frames = np.asarray(decode(vae_params, out.astype(dtype)))
         return np.asarray(out, np.float32), frames
 
@@ -179,9 +183,9 @@ def main():
     log(f"exact (refresh=1) run done in {time.time()-t0:.0f}s "
         f"(incl. any cold compile)")
 
-    for ku, kg, w in KS:
+    for ku, kg, w, ks, ws in KS:
         t0 = time.time()
-        lat_a, vid_a = run(ku, kg, w)
+        lat_a, vid_a = run(ku, kg, w, ks, ws)
         rel_l2 = float(
             np.linalg.norm(lat_a - lat_exact) / np.linalg.norm(lat_exact)
         )
@@ -191,8 +195,10 @@ def main():
         ps = float(np.mean([min(psnr(a, b), 99.0) for a, b in zip(fr_a, fr_e)]))
         ss = float(np.mean([ssim(a, b) for a, b in zip(fr_a, fr_e)]))
         tag = "_extrap" if w else ""
-        log(f"K_u={ku} K_g={kg} w={w}: rel_l2={rel_l2:.4f} psnr={ps:.2f} "
-            f"ssim={ss:.4f} ({time.time()-t0:.0f}s)")
+        if ks > 1:
+            tag += f"_step{ks}" + ("x" if ws else "")
+        log(f"K_u={ku} K_g={kg} w={w} K_s={ks} w_s={ws}: rel_l2={rel_l2:.4f} "
+            f"psnr={ps:.2f} ssim={ss:.4f} ({time.time()-t0:.0f}s)")
         print(json.dumps({
             "metric": f"approx_deviation_uncond{ku}_guidance{kg}{tag}",
             "workload": WORKLOAD,

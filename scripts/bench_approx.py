@@ -9,7 +9,9 @@ mode VERDICT round 1 asked to bench separately.  The refresh intervals
 are runtime scan inputs, so every (K_u, K_g) point shares ONE compiled
 executable and the whole grid sweeps in-process.
 
-    python scripts/bench_approx.py [KU:KG ...]   (default: 3:1 5:1 3:2 5:2)
+    python scripts/bench_approx.py [KU:KG[:w[:KS[:ws]]] ...]
+        (default: 3:1 5:1 3:2 5:2; KS = whole-step-cache interval —
+         skip the full UNet on stale steps — ws its extrapolation weight)
 """
 
 import json
@@ -41,11 +43,14 @@ def _parse(a):
     ku = int(parts[0])
     kg = int(parts[1]) if len(parts) > 1 else 1
     w = float(parts[2]) if len(parts) > 2 else 0.0
-    return ku, kg, w
+    ks = int(parts[3]) if len(parts) > 3 else 1
+    ws = float(parts[4]) if len(parts) > 4 else 0.0
+    return ku, kg, w, ks, ws
 
 
 KS = [_parse(a) for a in sys.argv[1:]] or [
-    (3, 1, 0.0), (5, 1, 0.0), (3, 2, 0.0), (5, 2, 0.0)
+    (3, 1, 0.0, 1, 0.0), (5, 1, 0.0, 1, 0.0),
+    (3, 2, 0.0, 1, 0.0), (5, 2, 0.0, 1, 0.0),
 ]
 TARGET_SECONDS = 30.0
 
@@ -90,7 +95,7 @@ def main():
     # guidance_refresh below)
     fns = make_sampling_fns(
         unet_cfg, NoiseScheduleConfig(), infer_cfg, dtype=dtype,
-        uncond_interval=2, guidance_interval=2,
+        uncond_interval=2, guidance_interval=2, step_interval=2,
     )
 
     rng = np.random.default_rng(0)
@@ -111,27 +116,32 @@ def main():
             )
 
     t0 = time.time()
-    ku0, kg0, w0 = KS[0]
+    ku0, kg0, w0, ks0, ws0 = KS[0]
     out = fns.sample(params, latents, uncond, cond, rep, None, None,
                      uncond_refresh=ku0, guidance_refresh=kg0,
-                     uncond_extrap_w=w0)
+                     uncond_extrap_w=w0,
+                     step_refresh=ks0, step_extrap_w=ws0)
     frames = decode(vae_params, out.astype(dtype))
     jax.block_until_ready(frames)
     log(f"compile+first run: {time.time()-t0:.0f}s")
 
-    for ku, kg, w in KS:
+    for ku, kg, w, ks, ws in KS:
         latents2 = jnp.asarray(
             rng.normal(size=(B, F, H, W, 4)), jnp.float32
         ).astype(dtype)
         t0 = time.time()
         out = fns.sample(params, latents2, uncond, cond, rep, None, None,
                          uncond_refresh=ku, guidance_refresh=kg,
-                         uncond_extrap_w=w)
+                         uncond_extrap_w=w,
+                         step_refresh=ks, step_extrap_w=ws)
         frames = decode(vae_params, out.astype(dtype))
         np.asarray(frames)
         elapsed = time.time() - t0
         tag = "_extrap" if w else ""
-        log(f"approx K_u={ku} K_g={kg} w={w} sampling: {elapsed:.2f}s/video")
+        if ks > 1:
+            tag += f"_step{ks}" + ("x" if ws else "")
+        log(f"approx K_u={ku} K_g={kg} w={w} K_s={ks} w_s={ws} "
+            f"sampling: {elapsed:.2f}s/video")
         print(json.dumps({
             "metric": (
                 f"sec_per_video_t2v_camera_512x512x16f_approx_"

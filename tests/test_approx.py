@@ -274,15 +274,20 @@ def test_approx_guards():
 def test_parse_approx_cli_spec():
     from motionclone_tpu.cli import parse_approx
 
-    assert parse_approx("") == (1, 1, 0.0)
-    assert parse_approx("uncond-cache") == (3, 1, 0.0)
-    assert parse_approx("uncond-cache:2") == (2, 1, 0.0)
-    assert parse_approx("guidance-cache") == (1, 2, 0.0)
-    assert parse_approx("guidance-cache:4") == (1, 4, 0.0)
-    assert parse_approx("uncond-cache:3,guidance-cache:2") == (3, 2, 0.0)
-    assert parse_approx("guidance-cache:2, uncond-cache:5") == (5, 2, 0.0)
-    assert parse_approx("uncond-extrap") == (3, 1, 1.0)
-    assert parse_approx("uncond-extrap:5,guidance-cache:2") == (5, 2, 1.0)
+    assert parse_approx("") == (1, 1, 0.0, 1, 0.0)
+    assert parse_approx("uncond-cache") == (3, 1, 0.0, 1, 0.0)
+    assert parse_approx("uncond-cache:2") == (2, 1, 0.0, 1, 0.0)
+    assert parse_approx("guidance-cache") == (1, 2, 0.0, 1, 0.0)
+    assert parse_approx("guidance-cache:4") == (1, 4, 0.0, 1, 0.0)
+    assert parse_approx("uncond-cache:3,guidance-cache:2") == (3, 2, 0.0, 1, 0.0)
+    assert parse_approx("guidance-cache:2, uncond-cache:5") == (5, 2, 0.0, 1, 0.0)
+    assert parse_approx("uncond-extrap") == (3, 1, 1.0, 1, 0.0)
+    assert parse_approx("uncond-extrap:5,guidance-cache:2") == (5, 2, 1.0, 1, 0.0)
+    assert parse_approx("step-cache") == (1, 1, 0.0, 2, 0.0)
+    assert parse_approx("step-cache:3") == (1, 1, 0.0, 3, 0.0)
+    assert parse_approx("step-extrap") == (1, 1, 0.0, 2, 1.0)
+    assert parse_approx("step-extrap:4") == (1, 1, 0.0, 4, 1.0)
+    assert parse_approx("uncond-extrap:5,step-extrap:2") == (5, 1, 1.0, 2, 1.0)
     with pytest.raises(SystemExit):
         parse_approx("magic")
     with pytest.raises(SystemExit):
@@ -290,9 +295,13 @@ def test_parse_approx_cli_spec():
     with pytest.raises(SystemExit):
         parse_approx("guidance-cache:1")
     with pytest.raises(SystemExit):
+        parse_approx("step-cache:1")
+    with pytest.raises(SystemExit):
         parse_approx("uncond-cache:3,magic")
     with pytest.raises(SystemExit):
         parse_approx("uncond-cache:3,uncond-extrap:3")
+    with pytest.raises(SystemExit):
+        parse_approx("step-cache:2,step-extrap:2")
 
 
 def test_extrap_exact_at_zero_cfg_scale():
@@ -367,4 +376,156 @@ def test_extrap_guards():
         exact.sample(
             params, latents, uncond, cond, rep, None, None,
             uncond_extrap_w=1.0,
+        )
+
+
+def test_step_cache_all_refresh_is_exact():
+    """A step-cache build dispatched with ``step_refresh=1`` runs the full
+    branch on every step — the exact pipeline's math (equal up to XLA
+    reassociation between the two separately compiled graphs).  This pins
+    the whole-step cond plumbing (carry threading, anchor updates, the
+    outer cond wrapping) against the exact path.  Tolerance is looser than
+    the other cross-graph tests: the cond branches compile as separate
+    computations (no fusion across the cond boundary), and cfg_scale=7.5
+    over 6 steps amplifies the reassociation rounding (measured 1/1024
+    elements at 2e-5 abs on CPU)."""
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(10, cfg_scale=7.5)
+    )
+    exact = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32)
+    stepc = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, step_interval=2
+    )
+    ref = np.asarray(exact.sample(params, latents, uncond, cond, rep, None, None))
+    out = np.asarray(
+        stepc.sample(
+            params, latents, uncond, cond, rep, None, None, step_refresh=1
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=1e-4)
+
+
+def test_step_cache_close_at_real_cfg_scale():
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(11, cfg_scale=7.5)
+    )
+    exact = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32)
+    stepc = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, step_interval=2
+    )
+    ref = np.asarray(exact.sample(params, latents, uncond, cond, rep, None, None))
+    out = np.asarray(stepc.sample(params, latents, uncond, cond, rep, None, None))
+    assert np.isfinite(out).all()
+    assert out.shape == ref.shape
+    rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 1.5, rel
+    # it IS an approximation (skip steps hold the noise prediction)
+    assert np.abs(out - ref).max() > 0
+
+
+def test_step_refresh_runtime_override():
+    """The step-skip interval is runtime data: a K=3-built fns dispatched
+    with ``step_refresh=2`` must bit-for-bit equal a K=2-built fns."""
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(12, cfg_scale=7.5)
+    )
+    built2 = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, step_interval=2
+    )
+    built3 = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, step_interval=3
+    )
+    ref = np.asarray(built2.sample(params, latents, uncond, cond, rep, None, None))
+    out = np.asarray(
+        built3.sample(
+            params, latents, uncond, cond, rep, None, None, step_refresh=2
+        )
+    )
+    np.testing.assert_array_equal(out, ref)
+
+    exact = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="step_refresh"):
+        exact.sample(
+            params, latents, uncond, cond, rep, None, None, step_refresh=2
+        )
+    with pytest.raises(ValueError, match="step_refresh"):
+        built3.sample(
+            params, latents, uncond, cond, rep, None, None, step_refresh=0
+        )
+
+
+def test_step_extrap_weight_is_runtime_data():
+    """A step-extrap build dispatched with ``step_extrap_w=0.0`` must match
+    a plain step-cache build; w=1.0 must genuinely change the output."""
+    # two full-step anchors plus a later skip step per phase: 8 steps, K=2
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(13, cfg_scale=7.5, inference_steps=8, guidance_steps=4)
+    )
+    plain = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, step_interval=2
+    )
+    extrap = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+        step_interval=2, step_extrap=1.0,
+    )
+    r_plain = np.asarray(
+        plain.sample(params, latents, uncond, cond, rep, None, None)
+    )
+    r_w0 = np.asarray(
+        extrap.sample(
+            params, latents, uncond, cond, rep, None, None, step_extrap_w=0.0
+        )
+    )
+    r_w1 = np.asarray(
+        extrap.sample(params, latents, uncond, cond, rep, None, None)
+    )
+    np.testing.assert_allclose(r_w0, r_plain, rtol=2e-5, atol=1e-6)
+    assert np.isfinite(r_w1).all()
+    assert np.abs(r_w1 - r_plain).max() > 0
+    rel = np.linalg.norm(r_w1 - r_plain) / (np.linalg.norm(r_plain) + 1e-9)
+    assert rel < 1.5, rel
+
+
+def test_step_cache_composes_with_finer_caches():
+    """step-cache x uncond-cache x guidance-cache all on: the finer caches
+    act on the steps the step cache runs; output stays finite/bounded."""
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(14, cfg_scale=7.5, inference_steps=8, guidance_steps=4)
+    )
+    exact = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32)
+    allc = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+        uncond_interval=2, guidance_interval=2, step_interval=2,
+    )
+    ref = np.asarray(exact.sample(params, latents, uncond, cond, rep, None, None))
+    out = np.asarray(allc.sample(params, latents, uncond, cond, rep, None, None))
+    assert np.isfinite(out).all()
+    rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 1.5, rel
+
+
+def test_step_cache_guards():
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(15)
+    )
+    with pytest.raises(ValueError, match="step_interval"):
+        make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, step_interval=0
+        )
+    with pytest.raises(ValueError, match="step_extrap"):
+        make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, step_extrap=1.0
+        )
+    exact = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="step_extrap_w"):
+        exact.sample(
+            params, latents, uncond, cond, rep, None, None, step_extrap_w=1.0
+        )
+    from motionclone_tpu.parallel.mesh import cfg_pair_sharding, make_mesh_2d
+
+    mesh = make_mesh_2d(data=4, cfg=2)
+    with pytest.raises(ValueError, match="CFG-pair"):
+        make_sampling_fns(
+            unet_cfg, sched_cfg, infer_cfg, step_interval=2,
+            cfg_pair_sharding=cfg_pair_sharding(mesh),
         )

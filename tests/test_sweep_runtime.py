@@ -27,7 +27,8 @@ from motionclone_tpu.pipeline.sweep import run_sweep
 F, H, W = 4, 8, 8
 
 
-def _stub_runtime(uncond_interval=1, guidance_interval=1, uncond_extrap=0.0):
+def _stub_runtime(uncond_interval=1, guidance_interval=1, uncond_extrap=0.0,
+                  step_interval=1, step_extrap=0.0):
     unet_cfg = tiny_unet_config()
     sched_cfg = NoiseScheduleConfig()
     infer_cfg = InferenceConfig(
@@ -50,6 +51,7 @@ def _stub_runtime(uncond_interval=1, guidance_interval=1, uncond_extrap=0.0):
         unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
         uncond_interval=uncond_interval, guidance_interval=guidance_interval,
         uncond_extrap=uncond_extrap,
+        step_interval=step_interval, step_extrap=step_extrap,
     )
 
     dim = unet_cfg.cross_attention_dim
@@ -83,6 +85,8 @@ def _stub_runtime(uncond_interval=1, guidance_interval=1, uncond_extrap=0.0):
         uncond_interval=uncond_interval,
         guidance_interval=guidance_interval,
         uncond_extrap=uncond_extrap,
+        step_interval=step_interval,
+        step_extrap=step_extrap,
         cn_cfg=None,
         clip_params=None,
         vae_params=None,
@@ -291,3 +295,32 @@ def test_run_sweep_threads_approx_through_every_mode(tmp_path):
             num_devices=4, frame_shard=2, frame_shard_mode="shardmap",
             cfg_pair=True,
         )
+
+
+def test_run_sweep_threads_step_cache(tmp_path):
+    """The whole-step cache rides the same threading: the data sweep and
+    the sharded sweeps honor the runtime's step_interval (identical
+    step-cache latents, genuinely different from exact)."""
+    examples = _write_examples(tmp_path)
+
+    exact = _sweep_latents(
+        _stub_runtime(), examples, tmp_path, "sc_exact", num_devices=2
+    )
+    rt = _stub_runtime(step_interval=2)
+    base = _sweep_latents(rt, examples, tmp_path, "sc_base", num_devices=2)
+    assert not np.allclose(base, exact, atol=1e-5)
+
+    gspmd = _sweep_latents(
+        rt, examples, tmp_path, "sc_gspmd",
+        num_devices=4, frame_shard=2, frame_shard_mode="gspmd",
+    )
+    np.testing.assert_allclose(gspmd, base, rtol=1e-4, atol=1e-4)
+
+    # shardmap: the skip branch holds NO collectives while the full branch
+    # all_gathers in the temporal modules — every shard takes the same
+    # (replicated scan-xs) branch, so the asymmetry is sound; pin it
+    smap = _sweep_latents(
+        rt, examples, tmp_path, "sc_smap",
+        num_devices=4, frame_shard=2, frame_shard_mode="shardmap",
+    )
+    np.testing.assert_allclose(smap, base, rtol=1e-4, atol=1e-4)
