@@ -52,6 +52,37 @@ from motionclone_tpu.utils import rng
 MotionRep = Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
 
 
+def _refresh_flags(n, k, executed=None):
+    """Per-chunk refresh schedule for the --approx caches.
+
+    Step 0 of every chunk refreshes (the cache is zero-initialized per
+    dispatch, so chunks stay self-contained — this is also what keeps
+    ``--resume`` exact), then every k-th step.  Host-computed runtime data
+    appended to the scan xs: ONE compiled approx executable serves every
+    interval k.
+
+    ``executed`` (the step-cache full-step mask) makes the finer caches
+    count EXECUTED steps: a refresh flag raised on a skipped step would be
+    silently consumed without running (the uncond / guidance conds only
+    evaluate inside ``full_step``), stretching the effective interval —
+    e.g. K_u=5 under step-extrap:2 would refresh every 10th step.
+    Counting full steps keeps "refresh every K-th executed step" true for
+    any (K, K_s) alignment.
+    """
+    if executed is None:
+        return jnp.asarray((np.arange(n) % k) == 0)
+    executed = np.asarray(executed, bool)
+    idx = np.cumsum(executed) - 1
+    return jnp.asarray(executed & ((idx % k) == 0))
+
+
+def _const_col(n, w):
+    # a per-step constant scan column (e.g. the extrapolation weight):
+    # runtime data like the refresh flags, so one executable serves
+    # every value
+    return jnp.full((n,), w, jnp.float32)
+
+
 def guidance_cut_index(guidance_blocks: Tuple[str, ...]) -> int:
     """Index of the last up-block needed for guidance features.
 
@@ -1046,20 +1077,6 @@ def make_sampling_fns(
             return guided_step_smap_pair, vanilla_step_smap_pair, None, None
         return guided_step, vanilla_step, guided_step_approx, vanilla_step_approx
 
-    def _refresh_flags(n, k):
-        # per-chunk refresh schedule: step 0 of every chunk refreshes (the
-        # cache is zero-initialized per dispatch, so chunks stay
-        # self-contained — this is also what keeps --resume exact), then
-        # every k-th step.  Host-computed runtime data appended to the scan
-        # xs: ONE compiled approx executable serves every interval k.
-        return jnp.asarray((np.arange(n) % k) == 0)
-
-    def _const_col(n, w):
-        # a per-step constant scan column (e.g. the extrapolation weight):
-        # runtime data like the refresh flags, so one executable serves
-        # every value
-        return jnp.full((n,), w, jnp.float32)
-
     def _guided_chunk(params, latents, uncond_emb, cond_emb, motion_rep,
                       cn_params, cn_cond, xs):
         guided_step, _, guided_approx, _ = _make_steps(
@@ -1217,10 +1234,16 @@ def make_sampling_fns(
                 size = min(chunk_steps, n - lo)
                 if offset + size > steps_done:  # not already checkpointed
                     xs = tuple(a[lo : lo + size] for a in arrays)
+                    # finer-cache refreshes count executed (full) steps when
+                    # the step cache is active — see _refresh_flags
+                    ex = (
+                        (np.arange(size) % s_refresh) == 0
+                        if step_cache else None
+                    )
                     if is_guided and approx_guided:
                         xs = xs + (
-                            _refresh_flags(size, k_refresh),
-                            _refresh_flags(size, g_refresh),
+                            _refresh_flags(size, k_refresh, ex),
+                            _refresh_flags(size, g_refresh, ex),
                             _const_col(size, w_extrap),
                         )
                         if step_cache:
@@ -1233,7 +1256,7 @@ def make_sampling_fns(
                         # vanilla phase caches the uncond forward and the
                         # whole step
                         xs = xs + (
-                            _refresh_flags(size, k_refresh),
+                            _refresh_flags(size, k_refresh, ex),
                             _const_col(size, w_extrap),
                         )
                         if step_cache:
@@ -1291,8 +1314,12 @@ def make_sampling_fns(
             size = min(chunk_steps, n - lo)
             xs = (ts_plain_j[lo : lo + size], tp_plain_j[lo : lo + size])
             if approx_vanilla:
+                ex = (
+                    (np.arange(size) % step_interval) == 0
+                    if step_cache else None
+                )
                 xs = xs + (
-                    _refresh_flags(size, uncond_interval),
+                    _refresh_flags(size, uncond_interval, ex),
                     _const_col(size, uncond_extrap),
                 )
                 if step_cache:

@@ -486,6 +486,63 @@ def test_step_extrap_weight_is_runtime_data():
     assert rel < 1.5, rel
 
 
+def test_refresh_flags_count_executed_steps():
+    """Finer-cache refresh schedules under the step cache count EXECUTED
+    (full) steps: a refresh flag raised on a skipped step would be silently
+    consumed without running (the uncond/guidance conds only evaluate
+    inside the step-cache full branch), stretching the effective interval
+    — e.g. K_u=5 under step-extrap:2 refreshed every 10th step."""
+    from motionclone_tpu.pipeline.motionclone import _refresh_flags
+
+    # plain schedule: every k-th absolute step, step 0 always
+    f = np.asarray(_refresh_flags(8, 3))
+    assert f.tolist() == [True, False, False, True, False, False, True, False]
+    # executed-mask schedule: every k-th EXECUTED step (the ADVICE r3
+    # scenario: K_u=5, K_s=2 -> refresh at absolute steps 0, 10, not the
+    # old stretched {0, 10-via-consumed-5,15})
+    ex = (np.arange(20) % 2) == 0
+    f = np.asarray(_refresh_flags(20, 5, ex))
+    assert np.flatnonzero(f).tolist() == [0, 10]
+    # no refresh can land on a skipped step, for any alignment
+    for k, s in [(2, 2), (3, 2), (5, 3), (4, 4)]:
+        ex = (np.arange(24) % s) == 0
+        f = np.asarray(_refresh_flags(24, k, ex))
+        assert not (f & ~ex).any()
+        # and exactly every k-th executed step refreshes
+        assert np.flatnonzero(f[ex]).tolist() == list(
+            range(0, int(ex.sum()), k)
+        )
+
+
+def test_uncond_cache_acts_under_step_cache():
+    """Behavioral regression for the executed-step fix: with K_s=2, every
+    2nd ABSOLUTE step is an executed step, so absolute-indexed K_u=2 flags
+    refreshed on every executed step — bit-identical to K_u=1 (the cache
+    never acted).  With executed-step counting, K_u=2 holds the uncond
+    prediction on half the executed steps and the outputs must differ."""
+    unet_cfg, sched_cfg, infer_cfg, params, latents, uncond, cond, rep = (
+        _setup(16, cfg_scale=7.5, inference_steps=8, guidance_steps=4)
+    )
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32,
+        uncond_interval=2, step_interval=2,
+    )
+    r_k1 = np.asarray(
+        fns.sample(
+            params, latents, uncond, cond, rep, None, None,
+            uncond_refresh=1, step_refresh=2,
+        )
+    )
+    r_k2 = np.asarray(
+        fns.sample(
+            params, latents, uncond, cond, rep, None, None,
+            uncond_refresh=2, step_refresh=2,
+        )
+    )
+    assert np.isfinite(r_k2).all()
+    assert np.abs(r_k2 - r_k1).max() > 0
+
+
 def test_step_cache_composes_with_finer_caches():
     """step-cache x uncond-cache x guidance-cache all on: the finer caches
     act on the steps the step cache runs; output stays finite/bounded."""
