@@ -7,9 +7,9 @@ slices dispatched back-to-back, so the host fetch of slice i overlaps
 slice i+1's device execution.  More slices shrink the serial head
 (first slice's decode) but add per-dispatch latency (~12-15 ms each).
 
-Measures end-to-end decode+fetch wall time for n_chunks in {1, 2, 4, 8}
-on the production shape (16 frames, 512x512), varying latents per
-iteration so the tunnel cannot dedupe dispatches.
+Measures end-to-end decode+fetch wall time for n_chunks in
+{1, 2, 4, 8, 16} on the production shape (16 frames, 512x512), varying
+latents per iteration so the tunnel cannot dedupe dispatches.
 
 Usage: python scripts/probe_decode_overlap.py
 """
