@@ -191,6 +191,17 @@ class MotionCloneRuntime:
 
         model_config_path = os.path.join(config_root, infer_cfg.model_config)
         self.unet_cfg, self.sched_cfg = load_model_config(model_config_path)
+        # honor the checkpoint directory's diffusers config.json files (the
+        # reference builds its models from them: from_pretrained_2d reads
+        # unet/config.json, AutoencoderKL/CLIPTextModel.from_pretrained read
+        # theirs — unet.py:477-490, t2v_video_sample.py:23-25).  Absent
+        # files leave the SD1.5 defaults — the shipped model-config YAMLs
+        # carry no topology, only motion-module/scheduler kwargs
+        from motionclone_tpu.weights.load import apply_unet_diffusers_config
+
+        self.unet_cfg = apply_unet_diffusers_config(
+            self.unet_cfg, pretrained_model_path
+        )
 
         if frame_shard == 1:
             # a 1-wide frames axis adds no parallelism but would force the
@@ -236,8 +247,13 @@ class MotionCloneRuntime:
                     )
 
                     self.cfg_pair_sharding = _cfg_pair_sharding(mesh)
-        self.vae_cfg = VAEConfig()
-        self.clip_cfg = CLIPTextConfig()
+        from motionclone_tpu.weights.load import (
+            clip_config_from_dir,
+            vae_config_from_dir,
+        )
+
+        self.vae_cfg = vae_config_from_dir(pretrained_model_path)
+        self.clip_cfg = clip_config_from_dir(pretrained_model_path)
 
         def j(p):
             return os.path.join(config_root, p) if p else ""
@@ -256,6 +272,12 @@ class MotionCloneRuntime:
                 sources = [
                     resolve_diffusers_module_path(pretrained_model_path, sub)
                     or os.path.join(pretrained_model_path, sub)
+                    for sub in ("unet", "vae", "text_encoder")
+                ] + [
+                    # the diffusers config.json files shape the model
+                    # topology (apply_unet_diffusers_config et al.) — a
+                    # config edit must invalidate the converted params
+                    os.path.join(pretrained_model_path, sub, "config.json")
                     for sub in ("unet", "vae", "text_encoder")
                 ] + [
                     j(infer_cfg.motion_module),

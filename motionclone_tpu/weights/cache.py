@@ -107,7 +107,10 @@ def save_params(
         if _SEP in comp:
             raise ValueError(f"component name may not contain {_SEP!r}: {comp}")
         for k, v in flatten_tree(tree).items():
-            flat[f"{comp}{_SEP}{k}"] = np.asarray(v)
+            # contiguous is load-bearing: safetensors serializes the RAW
+            # buffer, so a transposed/sliced view would be written in its
+            # source layout — same shape, silently permuted data
+            flat[f"{comp}{_SEP}{k}"] = np.ascontiguousarray(np.asarray(v))
     path = _entry_path(cache_dir, key)
     tmp = f"{path}.tmp.{os.getpid()}"
     save_file(flat, tmp)

@@ -18,6 +18,8 @@ accelerator until the final device put.
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
@@ -153,6 +155,116 @@ def controlnet_params_from_state_dict(
         ref = _shape_tree(model, sample, jnp.zeros((1,), jnp.int32), ctx, cond, mask)
         validate_against({"params": tree}, ref)
     return {"params": tree}
+
+
+# ---------------------------------------------------------------------------
+# diffusers config.json honoring (reference from_pretrained behavior)
+# ---------------------------------------------------------------------------
+
+
+def load_diffusers_config(
+    pretrained_dir: str, subfolder: str
+) -> Optional[Mapping[str, Any]]:
+    """The ``config.json`` of a diffusers-layout subfolder, or None.
+
+    The reference builds its models from these files —
+    ``UNet3DConditionModel.from_pretrained_2d`` reads ``unet/config.json``
+    (reference unet.py:477-490) and ``AutoencoderKL`` /
+    ``CLIPTextModel.from_pretrained`` read theirs (t2v_video_sample.py:24-25)
+    — so checkpoint directories with non-SD1.5 topologies load correctly.
+    """
+    p = os.path.join(pretrained_dir, subfolder, "config.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p, "r") as f:
+        return json.load(f)
+
+
+# 2D->3D block-class inflation (reference unet.py:490-497 passes the 2D
+# config's block names through the 3D factories after renaming)
+_BLOCK_2D_TO_3D = {
+    "CrossAttnDownBlock2D": "CrossAttnDownBlock3D",
+    "DownBlock2D": "DownBlock3D",
+    "UpBlock2D": "UpBlock3D",
+    "CrossAttnUpBlock2D": "CrossAttnUpBlock3D",
+}
+
+
+def apply_unet_diffusers_config(
+    unet_cfg: UNet3DConfig, pretrained_dir: str
+) -> UNet3DConfig:
+    """Overlay ``unet/config.json`` topology fields onto the model-config
+    UNet3DConfig (2D block classes inflated to 3D).  Absent file -> the
+    config is returned unchanged (SD1.5 defaults, the reference layout)."""
+    d = load_diffusers_config(pretrained_dir, "unet")
+    if d is None:
+        return unet_cfg
+    kwargs: Dict[str, Any] = {}
+    for k in (
+        "sample_size",
+        "in_channels",
+        "out_channels",
+        "layers_per_block",
+        "norm_num_groups",
+        "cross_attention_dim",
+        "attention_head_dim",
+        "flip_sin_to_cos",
+        "freq_shift",
+    ):
+        if k in d and d[k] is not None:
+            kwargs[k] = d[k]
+    if d.get("block_out_channels"):
+        kwargs["block_out_channels"] = tuple(d["block_out_channels"])
+    if d.get("down_block_types"):
+        kwargs["down_block_types"] = tuple(
+            _BLOCK_2D_TO_3D.get(b, b) for b in d["down_block_types"]
+        )
+    if d.get("up_block_types"):
+        kwargs["up_block_types"] = tuple(
+            _BLOCK_2D_TO_3D.get(b, b) for b in d["up_block_types"]
+        )
+    return dataclasses.replace(unet_cfg, **kwargs)
+
+
+def vae_config_from_dir(pretrained_dir: str) -> VAEConfig:
+    """``vae/config.json`` -> VAEConfig (SD1.5 defaults when absent)."""
+    d = load_diffusers_config(pretrained_dir, "vae")
+    if d is None:
+        return VAEConfig()
+    kwargs: Dict[str, Any] = {}
+    for k in (
+        "in_channels",
+        "out_channels",
+        "latent_channels",
+        "layers_per_block",
+        "norm_num_groups",
+        "scaling_factor",
+    ):
+        if k in d and d[k] is not None:
+            kwargs[k] = d[k]
+    if d.get("block_out_channels"):
+        kwargs["block_out_channels"] = tuple(d["block_out_channels"])
+    return VAEConfig(**kwargs)
+
+
+def clip_config_from_dir(pretrained_dir: str) -> CLIPTextConfig:
+    """``text_encoder/config.json`` (transformers field names) ->
+    CLIPTextConfig (SD1.5's CLIP ViT-L/14 text tower when absent)."""
+    d = load_diffusers_config(pretrained_dir, "text_encoder")
+    if d is None:
+        return CLIPTextConfig()
+    base = CLIPTextConfig()
+    return CLIPTextConfig(
+        vocab_size=d.get("vocab_size", base.vocab_size),
+        hidden_size=d.get("hidden_size", base.hidden_size),
+        num_layers=d.get("num_hidden_layers", base.num_layers),
+        num_heads=d.get("num_attention_heads", base.num_heads),
+        max_position_embeddings=d.get(
+            "max_position_embeddings", base.max_position_embeddings
+        ),
+        intermediate_size=d.get("intermediate_size", base.intermediate_size),
+        layer_norm_eps=d.get("layer_norm_eps", base.layer_norm_eps),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -479,6 +479,10 @@ def test_params_cache_roundtrip(tmp_path):
         "unet": {"params": {
             "conv_in": {"kernel": np.arange(12, dtype=np.float32).reshape(3, 4)},
             "block": {"norm": {"scale": np.ones((4,), bf16)}},
+            # non-contiguous view: safetensors writes the raw buffer, so
+            # without an explicit ascontiguousarray this would round-trip
+            # with silently permuted data (same shape, wrong values)
+            "t": {"kernel": np.arange(12, dtype=np.float32).reshape(3, 4).T},
         }},
         "vae": {"params": {"w": np.full((2, 2), 0.5, np.float32)}},
         "controlnet": None,  # skipped component
@@ -495,6 +499,10 @@ def test_params_cache_roundtrip(tmp_path):
     got = out["unet"]["params"]["block"]["norm"]["scale"]
     assert got.dtype == bf16
     np.testing.assert_array_equal(got.astype(np.float32), np.ones((4,)))
+    np.testing.assert_array_equal(
+        out["unet"]["params"]["t"]["kernel"],
+        trees["unet"]["params"]["t"]["kernel"],
+    )
 
     assert load_params(str(tmp_path), "nope") is None
     with open(os.path.join(tmp_path, "params-bad.safetensors"), "w") as f:
