@@ -13,10 +13,17 @@ Reported per (K_u, K_g, w, K_s, w_s) point: relative L2 error of the
 final latents, PSNR and SSIM of the decoded uint8 frames vs the exact
 run — one JSON line per point.
 
-    python scripts/approx_quality.py [--workload W] [KU:KG[:w[:KS[:ws]]] ...]
+    python scripts/approx_quality.py [--workload W] [--time]
+        [KU:KG[:w[:KS[:ws]]] ...]
         (default points: 3:1 5:2; KS = whole-step-cache interval, ws its
          extrapolation weight; W in {t2v_camera, t2v_object, i2v},
          default t2v_camera)
+
+``--time`` additionally measures each point's wall time per video
+(a second dispatch with fresh latents — the tunnel dedupes identical
+dispatches — through the same approx executable, decode+fetch included),
+reported as ``sec_per_video`` in the JSON line; the exact point gets one
+too.  Run on an idle machine for representative numbers.
 
 ``--workload t2v_object`` runs the 300-step / 180-guided schedule
 (configs/t2v_object.yaml — cache drift over 3x the guided steps);
@@ -66,6 +73,9 @@ if "--workload" in _args:
     i = _args.index("--workload")
     WORKLOAD = _args[i + 1]
     _args = _args[:i] + _args[i + 2:]
+TIME_POINTS = "--time" in _args
+if TIME_POINTS:
+    _args.remove("--time")
 KS = [_parse(a) for a in _args] or [(3, 1, 0.0, 1, 0.0), (5, 2, 0.0, 1, 0.0)]
 
 # schedule knobs per shipped config (configs/<workload>.yaml)
@@ -169,8 +179,9 @@ def main():
                             np.uint8),
             )
 
-    def run(ku, kg, w=0.0, ks=1, ws=0.0):
-        out = fns.sample(params, latents, uncond, cond, rep, cn_params,
+    def run(ku, kg, w=0.0, ks=1, ws=0.0, lat=None):
+        out = fns.sample(params, latents if lat is None else lat, uncond,
+                         cond, rep, cn_params,
                          cn_cond, chunk_steps=chunk_steps,
                          uncond_refresh=ku, guidance_refresh=kg,
                          uncond_extrap_w=w,
@@ -178,10 +189,32 @@ def main():
         frames = np.asarray(decode(vae_params, out.astype(dtype)))
         return np.asarray(out, np.float32), frames
 
+    def timed(ku, kg, w, ks, ws):
+        """One timed dispatch with fresh latents (the tunnel dedupes
+        identical dispatches), decode + full host fetch included."""
+        lat = jnp.asarray(
+            np.random.default_rng(int(time.time()) % 2**31).normal(
+                size=(B, F, H, W, 4)
+            ),
+            jnp.float32,
+        ).astype(dtype)
+        t0 = time.time()
+        run(ku, kg, w, ks, ws, lat=lat)
+        return time.time() - t0
+
     t0 = time.time()
     lat_exact, vid_exact = run(1, 1)
     log(f"exact (refresh=1) run done in {time.time()-t0:.0f}s "
         f"(incl. any cold compile)")
+    if TIME_POINTS:
+        exact_s = timed(1, 1, 0.0, 1, 0.0)
+        log(f"exact timed: {exact_s:.2f}s/video (through the approx "
+            f"executable, refresh=1)")
+        print(json.dumps({
+            "metric": "approx_deviation_exact",
+            "workload": WORKLOAD,
+            "sec_per_video": round(exact_s, 2),
+        }), flush=True)
 
     for ku, kg, w, ks, ws in KS:
         t0 = time.time()
@@ -199,13 +232,18 @@ def main():
             tag += f"_step{ks}" + ("x" if ws else "")
         log(f"K_u={ku} K_g={kg} w={w} K_s={ks} w_s={ws}: rel_l2={rel_l2:.4f} "
             f"psnr={ps:.2f} ssim={ss:.4f} ({time.time()-t0:.0f}s)")
-        print(json.dumps({
+        rec = {
             "metric": f"approx_deviation_uncond{ku}_guidance{kg}{tag}",
             "workload": WORKLOAD,
             "latent_rel_l2": round(rel_l2, 5),
             "decoded_psnr_db": round(ps, 2),
             "decoded_ssim": round(ss, 4),
-        }), flush=True)
+        }
+        if TIME_POINTS:
+            s = timed(ku, kg, w, ks, ws)
+            log(f"  timed: {s:.2f}s/video")
+            rec["sec_per_video"] = round(s, 2)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
