@@ -344,6 +344,23 @@ def micro_unet_config() -> UNet3DConfig:
     )
 
 
+def production_channel_unet_config() -> UNet3DConfig:
+    """A 2-level UNet3D at PRODUCTION channel counts for the multi-chip
+    dry run (``__graft_entry__.py``): 320/640 channels, 32 norm groups,
+    8 spatial + 8 temporal heads, ctx 768 — every per-channel quantity is
+    the real SD1.5/AnimateDiff one (reference unet.py:64,
+    model_config.yaml:8-12); only the depth is reduced (the dryrun budget
+    is XLA:CPU compile-bound).  Sharding bugs tied to channel arithmetic —
+    GroupNorm group splits, head splits, skip-concat widths — surface here
+    where the micro config's 8/16 channels cannot expose them."""
+    return UNet3DConfig(
+        down_block_types=("CrossAttnDownBlock3D", "DownBlock3D"),
+        up_block_types=("UpBlock3D", "CrossAttnUpBlock3D"),
+        block_out_channels=(320, 640),
+        layers_per_block=1,
+    )
+
+
 def tiny_unet_config() -> UNet3DConfig:
     """A miniature UNet3D with the same topology shape, for fast CPU tests."""
     return UNet3DConfig(
