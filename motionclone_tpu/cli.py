@@ -120,7 +120,12 @@ def build_parser(
         "step-cache but the held prediction is linearly extrapolated from "
         "the last two full steps (a linear-multistep solver on skip "
         "steps; lower deviation, same speed). Combine with a comma: "
-        "'uncond-extrap:3,guidance-cache:2' or 'step-extrap:2'",
+        "'uncond-extrap:3,guidance-cache:2' or 'step-extrap:2'. "
+        "Recommended operating point for every reference workload: "
+        "'step-extrap:3' (~2.7-2.9x speedup, SSIM >= 0.99 vs exact on all "
+        "three schedules); 'step-extrap:2' when closest-to-exact output "
+        "matters, 'step-extrap:5' for t2v_object throughput — measured "
+        "per-workload tables in PERF.md 'per-workload approx quality'",
     )
     parser.add_argument(
         "--weights-cache",
