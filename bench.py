@@ -19,14 +19,19 @@ forward per CFG half per step — reference motionclone_functions.py:190-197).
 Kill-resilience (the r03 driver artifact died rc=124 with zero JSON out):
 the JSON dict is STAGED as each section completes and printed by an
 atexit/SIGTERM handler, so an external kill at any point still yields every
-key measured so far; sections after the headline run inside a wall-clock
-budget guard (BENCH_BUDGET_S, default 840 s) ordered by value — headline,
-phase timing, the recommended approx point, i2v, t2v_object, extra approx
-points — and a section that would not fit the remaining budget is skipped
-(named in the ``skipped`` key) rather than risking the whole artifact.
+key measured so far.  Sections after the required headline run as guarded
+closures, ordered by value — phase timing, the recommended approx point,
+i2v, t2v_object, extra approx points: a section that would not fit the
+remaining wall budget (BENCH_BUDGET_S, default 840 s) is skipped, and a
+section that CRASHES is absorbed (named in the ``skipped`` key) instead of
+killing the sections after it.  Running each section body as a function
+also drops its device buffers on return — the i2v controlnet params +
+executables left resident previously pushed the t2v_object guided chunk
+over the 15.75 GB HBM (measured RESOURCE_EXHAUSTED).
 """
 
 import atexit
+import gc
 import json
 import os
 import signal
@@ -37,10 +42,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compile cache: first run pays ~10 min of XLA compiles, reruns skip
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+# persistent compile cache: first run pays ~10 min of XLA compiles, reruns
+# skip.  setup_compile_cache also makes the cache keys survive source
+# edits (tracebacks-in-locations off — its docstring has the measured
+# failure mode this prevents; a bench.py edit used to recompile EVERY
+# executable, which is what starved the r03 driver artifact).
+from motionclone_tpu.utils.compile_cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
 
 from motionclone_tpu.config import (  # noqa: E402
     InferenceConfig,
@@ -119,6 +128,24 @@ def fits(name, est_s):
     log(f"SKIP {name}: est {est_s:.0f}s > {left:.0f}s left of {BUDGET_S:.0f}s")
     RESULTS["skipped"].append(name)
     return False
+
+
+def guard(name, est_s, body):
+    """Run one optional section: budget-gated, crash-absorbed.
+
+    A section that raises is logged into ``skipped`` and later sections
+    still run; its device buffers (locals of ``body``) are dropped either
+    way, so one section's working set never squeezes the next one out of
+    HBM."""
+    if not (SMOKE or fits(name, est_s)):
+        return
+    try:
+        body()
+    except Exception as e:  # noqa: BLE001 — the artifact must survive
+        log(f"SECTION {name} FAILED: {type(e).__name__}: {e}")
+        RESULTS["skipped"].append(f"{name}(failed:{type(e).__name__})")
+    finally:
+        gc.collect()
 
 
 def main():
@@ -205,12 +232,18 @@ def main():
     fns = make_sampling_fns(unet_cfg, sched_cfg, infer_cfg, dtype=dtype)
 
     rng = np.random.default_rng(0)
-    latents = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+
+    def rand_latents():
+        return jnp.asarray(
+            rng.normal(size=(B, F, H, W, 4)), jnp.float32
+        ).astype(dtype)
+
+    latents = rand_latents()
     uncond = jnp.asarray(rng.normal(size=(B, 77, ctx_dim)), jnp.float32).astype(dtype)
     cond = jnp.asarray(rng.normal(size=(B, 77, ctx_dim)), jnp.float32).astype(dtype)
     if SMOKE:
         # real extraction gives the correctly-shaped rep for any config
-        noise = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+        noise = rand_latents()
         rep = fns.extract(params, latents, noise, uncond, None, None)
     else:
         s_hw = 16 * 16  # up_blocks.1 spatial positions at 512^2
@@ -226,7 +259,7 @@ def main():
                     jnp.asarray(rng.integers(0, F, size=(B, s_hw, 8, F, 1)), np.uint8),
                 )
 
-    # ---- headline: t2v_camera exact path (REQUIRED — no budget guard) ----
+    # ---- headline: t2v_camera exact path (REQUIRED — no guard) ----------
     # warm-up: compile sampling scan + decode
     t0 = time.time()
     out = fns.sample(params, latents, uncond, cond, rep, None, None)
@@ -234,9 +267,8 @@ def main():
     log(f"compile+first run: {time.time()-t0:.0f}s")
 
     # timed run (different seed latents so nothing can be elided)
-    latents2 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
     t0 = time.time()
-    out = fns.sample(params, latents2, uncond, cond, rep, None, None)
+    out = fns.sample(params, rand_latents(), uncond, cond, rep, None, None)
     fetch_video(out)  # decode + full host fetch
     elapsed = time.time() - t0
     steps_per_sec = infer_cfg.inference_steps / elapsed
@@ -248,15 +280,18 @@ def main():
         vs_baseline=round(TARGET_SECONDS / elapsed, 3),
         steps_per_sec=round(steps_per_sec, 3),
     )
+    del out
+    gc.collect()
 
     # ---- per-phase attribution: dispatch each phase's chunk alone (same
     # compiled executables as the 50-step chunks above) with fresh latents
     # (the tunnel dedupes identical dispatches) and fetch a scalar to sync
-    if SMOKE or fits("phase_timing", 50):
+    def sec_phase_timing():
         g_xs, v_xs = fns.phase_xs
-        lat3 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
         t0 = time.time()
-        lat_g = fns.guided_chunk(params, lat3, uncond, cond, rep, None, None, g_xs)
+        lat_g = fns.guided_chunk(
+            params, rand_latents(), uncond, cond, rep, None, None, g_xs
+        )
         float(lat_g.ravel()[0])
         guided_ms = (time.time() - t0) * 1000.0 / len(g_xs[0])
         t0 = time.time()
@@ -272,32 +307,34 @@ def main():
             vanilla_ms_per_step=round(vanilla_ms, 1),
         )
 
+    guard("phase_timing", 50, sec_phase_timing)
+
     # ---- opt-in approx modes (--approx ...): output-changing cross-step
     # caches (PERF.md "Opt-in approx modes"), reported as separate keys so
     # the headline stays exact.  ONE build (intervals are runtime scan
     # inputs) serves every point; the recommended operating point
-    # step-extrap:3 (SSIM 0.994 vs exact on the bench workload, dominating
-    # every finer-cache composition) runs first and feeds
+    # step-extrap:3 (SSIM >= 0.99 on all three reference schedules —
+    # PERF.md per-workload tables) runs first and feeds
     # approx_best_vs_baseline; the other points are lower-priority sections.
     fns_approx = None
-    if SMOKE or fits("approx_step3", 60):
+
+    def sec_approx_step3():
+        nonlocal fns_approx
         fns_approx = make_sampling_fns(
             unet_cfg, sched_cfg, infer_cfg, dtype=dtype,
             uncond_interval=2, guidance_interval=2, step_interval=2,
         )
-        lat4d = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
         t0 = time.time()
         out = fns_approx.sample(
-            params, lat4d, uncond, cond, rep, None, None,
+            params, rand_latents(), uncond, cond, rep, None, None,
             uncond_refresh=1, guidance_refresh=1, step_refresh=3,
             step_extrap_w=1.0,
         )
         jax.block_until_ready(fetch_video(out))
         log(f"approx compile+first run (step-extrap:3): {time.time()-t0:.0f}s")
-        lat4e = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
         t0 = time.time()
         out = fns_approx.sample(
-            params, lat4e, uncond, cond, rep, None, None,
+            params, rand_latents(), uncond, cond, rep, None, None,
             uncond_refresh=1, guidance_refresh=1, step_refresh=3,
             step_extrap_w=1.0,
         )
@@ -309,12 +346,14 @@ def main():
             approx_best_vs_baseline=round(TARGET_SECONDS / step3_elapsed, 3),
         )
 
+    guard("approx_step3", 60, sec_approx_step3)
+
     # ---- i2v (configs/i2v_rgb.yaml: 100 steps / 40 guided, SparseCtrl
     # latent conditioning — one controlnet forward per CFG half per step).
     # Random controlnet weights from the shipped production config; this
     # also demonstrates the guided i2v step (controlnet + grad-through-UNet)
     # fits the 15.75 GB HBM with the grad-safe attention impl.
-    if SMOKE or fits("i2v", 190):
+    def sec_i2v():
         from motionclone_tpu.config import load_yaml
         from motionclone_tpu.models.sparse_controlnet import (
             SparseControlNetConfig,
@@ -374,17 +413,17 @@ def main():
         ).astype(dtype)
         cn_cond_t, cn_mask = scatter_condition(cond_img, (0,), F)
         cn_cond = (cn_cond_t, cn_mask.astype(dtype), 1.0)
-        lat7 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
         t0 = time.time()
         out = fns_i2v.sample(
-            params, lat7, uncond, cond, rep, cn_params, cn_cond, chunk_steps=60
+            params, rand_latents(), uncond, cond, rep, cn_params, cn_cond,
+            chunk_steps=60,
         )
         jax.block_until_ready(fetch_video(out))
         log(f"i2v compile+first run: {time.time()-t0:.0f}s")
-        lat8 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
         t0 = time.time()
         out = fns_i2v.sample(
-            params, lat8, uncond, cond, rep, cn_params, cn_cond, chunk_steps=60
+            params, rand_latents(), uncond, cond, rep, cn_params, cn_cond,
+            chunk_steps=60,
         )
         fetch_video(out)
         i2v_elapsed = time.time() - t0
@@ -394,12 +433,10 @@ def main():
         # i2v per-phase: dispatch each phase chunk alone with fresh latents
         if SMOKE or fits("i2v_phase_timing", 70):
             gi_xs, vi_xs = fns_i2v.phase_xs
-            lat9 = jnp.asarray(
-                rng.normal(size=(B, F, H, W, 4)), jnp.float32
-            ).astype(dtype)
             t0 = time.time()
             lat_g = fns_i2v.guided_chunk(
-                params, lat9, uncond, cond, rep, cn_params, cn_cond, gi_xs
+                params, rand_latents(), uncond, cond, rep, cn_params,
+                cn_cond, gi_xs,
             )
             float(lat_g.ravel()[0])
             i2v_guided_ms = (time.time() - t0) * 1000.0 / len(gi_xs[0])
@@ -419,11 +456,13 @@ def main():
                 i2v_vanilla_ms_per_step=round(i2v_vanilla_ms, 1),
             )
 
+    guard("i2v", 190, sec_i2v)
+
     # ---- t2v_object (configs/t2v_object.yaml: 300 steps / 180 guided).
     # Same step math and shapes as t2v_camera — chunk_steps=60 tiles both
     # phases exactly (180 = 3x60, 120 = 2x60), so this compiles two fresh
     # chunk lengths and then reuses them across all dispatches.
-    if SMOKE or fits("t2v_object", 260):
+    def sec_t2v_object():
         obj_cfg = InferenceConfig(
             inference_steps=300,
             guidance_steps=180,
@@ -438,10 +477,10 @@ def main():
             cfg_scale=7.5,
         )
         fns_obj = make_sampling_fns(unet_cfg, sched_cfg, obj_cfg, dtype=dtype)
-        lat5 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
         t0 = time.time()
         out = fns_obj.sample(
-            params, lat5, uncond, cond, rep, None, None, chunk_steps=60
+            params, rand_latents(), uncond, cond, rep, None, None,
+            chunk_steps=60,
         )
         jax.block_until_ready(fetch_video(out))
         first = time.time() - t0
@@ -449,13 +488,11 @@ def main():
         # the second (timed) run re-dispatches the same warm executables; if
         # the budget cannot absorb it, report the first run (upper bound —
         # it adds executable-load time, still honest at warm cache)
-        if fits("t2v_object_timed", 140):
-            lat6 = jnp.asarray(
-                rng.normal(size=(B, F, H, W, 4)), jnp.float32
-            ).astype(dtype)
+        if SMOKE or fits("t2v_object_timed", 140):
             t0 = time.time()
             out = fns_obj.sample(
-                params, lat6, uncond, cond, rep, None, None, chunk_steps=60
+                params, rand_latents(), uncond, cond, rep, None, None,
+                chunk_steps=60,
             )
             fetch_video(out)
             obj_elapsed = time.time() - t0
@@ -464,13 +501,14 @@ def main():
         log(f"t2v_object sampling: {obj_elapsed:.2f}s/video (300 steps)")
         stage(t2v_object_sec_per_video=round(obj_elapsed, 3))
 
+    guard("t2v_object", 260, sec_t2v_object)
+
     # ---- extra approx points (lowest priority; PERF.md sweep context):
     # the r2 finer-cache recommendation, step-extrap:2, and the composition
-    if fns_approx is not None and (SMOKE or fits("approx_extra_points", 90)):
-        lat4 = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
+    def sec_approx_extra():
         t0 = time.time()
         out = fns_approx.sample(
-            params, lat4, uncond, cond, rep, None, None,
+            params, rand_latents(), uncond, cond, rep, None, None,
             uncond_refresh=5, guidance_refresh=2, uncond_extrap_w=1.0,
             step_refresh=1,
         )
@@ -481,10 +519,9 @@ def main():
             approx_uncond5_extrap_guidance2_sec=round(approx_elapsed, 3),
             approx_vs_baseline=round(TARGET_SECONDS / approx_elapsed, 3),
         )
-        lat4b = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
         t0 = time.time()
         out = fns_approx.sample(
-            params, lat4b, uncond, cond, rep, None, None,
+            params, rand_latents(), uncond, cond, rep, None, None,
             uncond_refresh=1, guidance_refresh=1, step_refresh=2,
             step_extrap_w=1.0,
         )
@@ -492,10 +529,9 @@ def main():
         step2_elapsed = time.time() - t0
         log(f"approx (step-extrap:2) sampling: {step2_elapsed:.2f}s/video")
         stage(approx_step2_extrap_sec=round(step2_elapsed, 3))
-        lat4c = jnp.asarray(rng.normal(size=(B, F, H, W, 4)), jnp.float32).astype(dtype)
         t0 = time.time()
         out = fns_approx.sample(
-            params, lat4c, uncond, cond, rep, None, None,
+            params, rand_latents(), uncond, cond, rep, None, None,
             uncond_refresh=5, guidance_refresh=2, uncond_extrap_w=1.0,
             step_refresh=2, step_extrap_w=1.0,
         )
@@ -511,6 +547,9 @@ def main():
                 TARGET_SECONDS / composed_elapsed, 3
             ),
         )
+
+    if fns_approx is not None:
+        guard("approx_extra_points", 90, sec_approx_extra)
 
     log(f"done in {time.time()-START:.0f}s; emitting JSON")
     _emit()

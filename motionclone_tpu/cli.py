@@ -128,6 +128,17 @@ def build_parser(
         "per-workload tables in PERF.md 'per-workload approx quality'",
     )
     parser.add_argument(
+        "--compile-cache",
+        type=str,
+        default="",
+        metavar="DIR",
+        help="persistent XLA compile-cache directory: the first run pays "
+        "the jit compiles (~minutes at 512x512), later startups reload the "
+        "executables in seconds — including after edits to calling "
+        "scripts (cache keys are made source-location-independent; "
+        "utils/compile_cache.py)",
+    )
+    parser.add_argument(
         "--weights-cache",
         type=str,
         default="",
@@ -195,6 +206,10 @@ def parse_approx(spec: str) -> tuple:
 
 
 def _setup(args, cfg=None):
+    if getattr(args, "compile_cache", ""):
+        from motionclone_tpu.utils.compile_cache import setup_compile_cache
+
+        setup_compile_cache(args.compile_cache)
     if getattr(args, "visible_gpu", None):
         print(
             "--visible_gpu is a no-op on TPU (reference CUDA pinning); "

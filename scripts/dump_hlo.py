@@ -12,9 +12,9 @@ sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))
 import jax
 import jax.numpy as jnp
 
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from motionclone_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache()  # edit-stable keys: see utils/compile_cache.py
 
 from motionclone_tpu.config import UNet3DConfig
 from motionclone_tpu.models.unet3d import UNet3DConditionModel

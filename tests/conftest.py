@@ -21,10 +21,15 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the tiny-model end-to-end tests are dominated by
 # XLA:CPU compile time; cache across runs so re-runs are seconds, not minutes.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
-os.makedirs(_CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+# setup_compile_cache also disables tracebacks-in-locations, so editing a
+# TEST file no longer re-keys (and recompiles) the programs it builds —
+# see utils/compile_cache.py for the measured failure mode.
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+from motionclone_tpu.utils.compile_cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache(min_compile_seconds=2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
