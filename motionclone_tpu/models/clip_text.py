@@ -28,6 +28,16 @@ class CLIPTextConfig:
     max_position_embeddings: int = 77
     intermediate_size: int = 3072
     layer_norm_eps: float = 1e-5
+    # transformers ``hidden_act``: SD1.5's ViT-L/14 tower uses quick_gelu;
+    # SD2.x-style custom checkpoints ship OpenCLIP towers with exact gelu.
+    hidden_act: str = "quick_gelu"
+
+    def __post_init__(self):
+        if self.hidden_act not in _ACTIVATIONS:
+            raise ValueError(
+                f"unsupported CLIP hidden_act {self.hidden_act!r}; "
+                f"supported: {sorted(_ACTIVATIONS)}"
+            )
 
 
 def tiny_clip_config() -> CLIPTextConfig:
@@ -39,6 +49,15 @@ def tiny_clip_config() -> CLIPTextConfig:
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * nn.sigmoid(1.702 * x)
+
+
+# transformers ACT2FN names -> jax fns ("gelu" is the exact erf form there,
+# "gelu_new" the tanh approximation)
+_ACTIVATIONS = {
+    "quick_gelu": quick_gelu,
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: nn.gelu(x, approximate=True),
+}
 
 
 class CLIPAttention(nn.Module):
@@ -79,7 +98,7 @@ class CLIPEncoderLayer(nn.Module):
             x.astype(jnp.float32)
         ).astype(x.dtype)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="mlp_fc1")(h)
-        h = quick_gelu(h)
+        h = _ACTIVATIONS[cfg.hidden_act](h)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
         return x + h
 

@@ -45,7 +45,10 @@ from motionclone_tpu.weights.load import (
     vae_params_from_state_dict,
 )
 
-VAE_SCALING = 0.18215  # vae.config.scaling_factor (motionclone_functions.py:32)
+# SD1.5's vae.config.scaling_factor (motionclone_functions.py:32) — the
+# default when no vae/config.json overrides it; runtime paths use
+# self.vae_cfg.scaling_factor so a checkpoint's declared factor is honored
+VAE_SCALING = 0.18215
 
 
 def motion_rep_meta(cfg: InferenceConfig, seed_motion: int) -> dict:
@@ -523,7 +526,7 @@ class MotionCloneRuntime:
         x = jnp.asarray(video, dtype=self.dtype)[None]
         mean, logvar = self._vae_encode(self.vae_params, x)
         z = sample_latents(mean, logvar, rng.seed_key(seed, rng.VAE_POSTERIOR))
-        return z * VAE_SCALING
+        return z * self.vae_cfg.scaling_factor
 
     def decode_latents(
         self, latents: jnp.ndarray, *, overlap_chunks: int = 2
@@ -539,7 +542,7 @@ class MotionCloneRuntime:
         the unavoidable ~12.6 MB uint8 fetch.  Falls back to one call when
         frames are mesh-sharded (slicing would fight the sharding) or the
         frame count does not split."""
-        z = latents.astype(self.dtype) / VAE_SCALING
+        z = latents.astype(self.dtype) / self.vae_cfg.scaling_factor
         sharded = (
             self.frame_sharding is not None or self.frame_shard_map is not None
         )
@@ -661,7 +664,7 @@ class MotionCloneRuntime:
                 z = sample_latents(
                     mean, logvar, rng.seed_key(seed, rng.CN_IMAGE_POSTERIOR)
                 )
-                frames_cond = z * VAE_SCALING
+                frames_cond = z * self.vae_cfg.scaling_factor
             else:
                 frames_cond = jnp.asarray(imgs01, dtype=self.dtype)[None]
             cond_t, mask_t = scatter_condition(

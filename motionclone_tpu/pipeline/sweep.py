@@ -369,7 +369,7 @@ def run_sweep(
                     for i in range(len(chunk))
                 ]
             )
-            lat = z * 0.18215
+            lat = z * runtime.vae_cfg.scaling_factor
             video_latents = shard_batch(lat, mesh)
 
             # i2v: extraction conditions come from the reference video
@@ -456,7 +456,7 @@ def run_sweep(
                         m_i, lv_i,
                         rng.seed_key(seeds[i], rng.CN_IMAGE_POSTERIOR),
                     )
-                    frames.append(z_i * 0.18215)
+                    frames.append(z_i * runtime.vae_cfg.scaling_factor)
                 else:
                     frames.append(jnp.asarray(imgs01, runtime.dtype)[None])
             cn_cond_sample = _batch_scatter(frames, chunk)

@@ -65,14 +65,30 @@ def _copy_prefix(src: Mapping[str, np.ndarray], src_prefix: str,
             out[dst_prefix + k[len(src_prefix):]] = v
 
 
-def convert_ldm_unet(sd: Mapping[str, np.ndarray]) -> StateDict:
+def convert_ldm_unet(
+    sd: Mapping[str, np.ndarray], *, extract_ema: bool = False
+) -> StateDict:
     """model.diffusion_model.* -> diffusers UNet2D keys.
 
     Handles the SD1.x layout: 4 down blocks x ``layers_per_block`` layers with
     optional spatial transformers, mid block, 4 up blocks x (layers+1).
     Block/layer counts are inferred from the key set.
+
+    ``extract_ema`` mirrors the reference's EMA branch
+    (convert_from_ckpt.py:343-356): when the checkpoint carries >100
+    ``model_ema.*`` keys, each UNet weight is replaced by its EMA shadow,
+    whose key is the dot-stripped flattening ``model_ema.<segs joined
+    without dots>``.  The reference's own ``load_weights`` never sets it
+    (util.py:142-168); exposed for parity with the standalone converter.
     """
-    src = _sub_keys(sd, "model.diffusion_model.")
+    if extract_ema and sum(k.startswith("model_ema.") for k in sd) > 100:
+        src: StateDict = {}
+        for k in sd:
+            if k.startswith("model.diffusion_model."):
+                flat_ema = "model_ema." + "".join(k.split(".")[1:])
+                src[k[len("model.diffusion_model."):]] = sd[flat_ema]
+    else:
+        src = _sub_keys(sd, "model.diffusion_model.")
     out: StateDict = {}
 
     out["time_embedding.linear_1.weight"] = src["time_embed.0.weight"]

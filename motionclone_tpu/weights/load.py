@@ -210,9 +210,21 @@ def apply_unet_diffusers_config(
         "attention_head_dim",
         "flip_sin_to_cos",
         "freq_shift",
+        "use_linear_projection",
     ):
         if k in d and d[k] is not None:
             kwargs[k] = d[k]
+    # diffusers configs may carry a per-block head list (e.g. [5,10,20,20]);
+    # UNet3DConfig.attention_head_dim is the global head COUNT
+    # (diffusers-legacy naming) — a list would silently break head
+    # arithmetic downstream, so reject it loudly
+    ahd = kwargs.get("attention_head_dim")
+    if ahd is not None and not isinstance(ahd, int):
+        raise ValueError(
+            f"unet/config.json attention_head_dim={ahd!r}: per-block head "
+            "lists are not supported (UNet3DConfig takes a single int — "
+            "the diffusers-legacy global head count)"
+        )
     if d.get("block_out_channels"):
         kwargs["block_out_channels"] = tuple(d["block_out_channels"])
     if d.get("down_block_types"):
@@ -264,6 +276,10 @@ def clip_config_from_dir(pretrained_dir: str) -> CLIPTextConfig:
         ),
         intermediate_size=d.get("intermediate_size", base.intermediate_size),
         layer_norm_eps=d.get("layer_norm_eps", base.layer_norm_eps),
+        # an SD2.x-style text encoder declares exact gelu here; hard-coding
+        # quick_gelu would load cleanly but embed wrongly — CLIPTextConfig
+        # rejects names it cannot honor
+        hidden_act=d.get("hidden_act", base.hidden_act),
     )
 
 
@@ -304,6 +320,7 @@ def assemble_pipeline_state_dicts(
     lora_model_path: str = "",
     lora_alpha: float = 0.8,
     motion_lora_configs: Sequence[Tuple[str, float]] = (),
+    dreambooth_extract_ema: bool = False,
 ) -> Dict[str, StateDict]:
     """Produce final flat state dicts for unet/vae/text_encoder.
 
@@ -322,7 +339,7 @@ def assemble_pipeline_state_dicts(
 
     if dreambooth_path:
         db = load_state_dict(dreambooth_path)
-        sd_unet_db = convert_ldm_unet(db)
+        sd_unet_db = convert_ldm_unet(db, extract_ema=dreambooth_extract_ema)
         sd_vae_db = convert_ldm_vae(db)
         sd_clip_db = convert_ldm_clip(db)
         if sd_unet_db:

@@ -19,7 +19,7 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
 
-def _torch_tiny():
+def _torch_tiny(hidden_act="quick_gelu"):
     cfg = transformers.CLIPTextConfig(
         vocab_size=64,
         hidden_size=16,
@@ -27,7 +27,7 @@ def _torch_tiny():
         num_hidden_layers=2,
         num_attention_heads=2,
         max_position_embeddings=77,
-        hidden_act="quick_gelu",
+        hidden_act=hidden_act,
     )
     torch.manual_seed(0)
     return transformers.CLIPTextModel(cfg).eval()
@@ -79,9 +79,14 @@ def _port_params(tmodel, jcfg: CLIPTextConfig):
     return {"params": p}
 
 
-def test_parity_with_transformers():
-    jcfg = tiny_clip_config()
-    tmodel = _torch_tiny()
+@pytest.mark.parametrize("hidden_act", ["quick_gelu", "gelu", "gelu_new"])
+def test_parity_with_transformers(hidden_act):
+    """SD1.5 towers use quick_gelu; SD2.x-style custom checkpoints declare
+    exact gelu — both must match transformers numerics, not just load."""
+    import dataclasses
+
+    jcfg = dataclasses.replace(tiny_clip_config(), hidden_act=hidden_act)
+    tmodel = _torch_tiny(hidden_act)
     params = _port_params(tmodel, jcfg)
 
     rng = np.random.default_rng(0)
@@ -93,6 +98,11 @@ def test_parity_with_transformers():
     model = CLIPTextModel(cfg=jcfg)
     out = model.apply(params, jnp.asarray(ids, jnp.int32))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_unsupported_hidden_act_rejected():
+    with pytest.raises(ValueError, match="hidden_act"):
+        CLIPTextConfig(hidden_act="relu")
 
 
 def test_shapes_and_determinism():

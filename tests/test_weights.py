@@ -296,6 +296,30 @@ def test_ldm_unet_mapping_sd15_layout():
     )
 
 
+def test_ldm_unet_extract_ema():
+    """EMA branch (reference convert_from_ckpt.py:343-356): with >100
+    ``model_ema.*`` keys and ``extract_ema=True``, every UNet weight is
+    replaced by its dot-stripped-flat-key EMA shadow; without the flag the
+    non-EMA weights are kept."""
+    sd = _ldm_unet_synth()
+    ema = {
+        "model_ema." + "".join(k.split(".")[1:]): v + 1.0
+        for k, v in sd.items()
+    }
+    # the reference's EMA-detection threshold is a key COUNT (>100)
+    for i in range(max(0, 101 - len(ema))):
+        ema[f"model_ema.decay_filler_{i}"] = np.zeros((1,), np.float32)
+    full = {**sd, **ema}
+
+    out_plain = convert_ldm_unet(sd)
+    out_ema = convert_ldm_unet(full, extract_ema=True)
+    out_noflag = convert_ldm_unet(full)
+    assert set(out_ema) == set(out_plain) == set(out_noflag)
+    for k in out_plain:
+        np.testing.assert_array_equal(out_ema[k], out_plain[k] + 1.0, err_msg=k)
+        np.testing.assert_array_equal(out_noflag[k], out_plain[k], err_msg=k)
+
+
 def test_ldm_vae_mapping():
     rng = np.random.default_rng(0)
     sd = {}
