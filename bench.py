@@ -130,6 +130,80 @@ def fits(name, est_s):
     return False
 
 
+def _probe_devices(timeout_s):
+    """One ``jax.devices()`` attempt in a daemon thread.
+
+    A wedged axon relay can make the call HANG (0% CPU, CLAUDE.md "TPU
+    environment gotchas"), not just raise — so the attempt itself must be
+    time-bounded.  Returns (devices_or_None, error_string_or_None).  A
+    thread that is still blocked at the timeout is abandoned (daemon;
+    ``os._exit`` paths below never join it)."""
+    import threading
+
+    result = {}
+
+    def run():
+        try:
+            result["devs"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — classified by the caller
+            result["err"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return None, f"jax.devices() still blocked after {timeout_s:.0f}s"
+    return result.get("devs"), result.get("err")
+
+
+def acquire_devices():
+    """Backend acquisition that survives a down/wedged axon tunnel.
+
+    The r04 driver artifact was nulled by a single
+    ``Unable to initialize backend 'axon': UNAVAILABLE`` raised straight
+    through at first touch — a transient CLAUDE.md documents as clearing in
+    ~3-5 minutes.  jax retries platform init on every ``jax.devices()``
+    call while no backend has registered (xla_bridge.backends() only
+    caches a NON-empty ``_backends``), so an in-process retry loop is
+    sound.  Retries until ``min(480 s, 0.6 * BENCH_BUDGET_S)`` from start;
+    if the backend never comes up, stages ``backend_unavailable`` plus the
+    error tail so the artifact is diagnosable rather than null, emits, and
+    exits."""
+    deadline = START + min(480.0, 0.6 * BUDGET_S)
+    attempt = 0
+    last_err = None
+    while True:
+        attempt += 1
+        devs, err = _probe_devices(90.0)
+        if devs is not None and (SMOKE or devs[0].platform != "cpu"):
+            if attempt > 1:
+                log(f"backend recovered on attempt {attempt}")
+                stage(backend_retries=attempt - 1)
+            return devs
+        if devs is not None:
+            # JAX fell back to CPU without the TPU plugin — timing the
+            # workload there would stage a silently-garbage headline
+            err = f"no TPU backend: devices()={devs!r}"
+        last_err = err
+        left = deadline - time.time()
+        log(f"backend attempt {attempt} failed: {err}")
+        if left <= 0:
+            log(
+                f"backend never came up within the retry deadline "
+                f"({attempt} attempts) — emitting failure artifact"
+            )
+            stage(
+                backend_unavailable=True,
+                backend_error=(last_err or "")[-500:],
+                backend_attempts=attempt,
+            )
+            _emit()
+            os._exit(1)
+        sleep_s = min(45.0, left)
+        log(f"retrying in {sleep_s:.0f}s ({left:.0f}s left before giving up)")
+        time.sleep(sleep_s)
+
+
 def guard(name, est_s, body):
     """Run one optional section: budget-gated, crash-absorbed.
 
@@ -149,6 +223,10 @@ def guard(name, est_s, body):
 
 
 def main():
+    # first device touch — retried across the wedged-tunnel window so one
+    # transient UNAVAILABLE can no longer null the whole round's artifact
+    devices = acquire_devices()
+    log(f"devices: {devices}; budget {BUDGET_S:.0f}s")
     if SMOKE:
         from motionclone_tpu.config import tiny_unet_config
 
@@ -177,7 +255,6 @@ def main():
     B, F = 1, infer_cfg.video_length
     H = W = infer_cfg.height // 8
 
-    log(f"devices: {jax.devices()}; budget {BUDGET_S:.0f}s")
     # the axon tunnel relay and the dispatch loop are host processes: a
     # loaded machine (e.g. a concurrent test suite) inflates the measured
     # time >10x — flag it rather than silently reporting a garbage number
@@ -486,8 +563,9 @@ def main():
         first = time.time() - t0
         log(f"t2v_object compile+first run: {first:.0f}s")
         # the second (timed) run re-dispatches the same warm executables; if
-        # the budget cannot absorb it, report the first run (upper bound —
-        # it adds executable-load time, still honest at warm cache)
+        # the budget cannot absorb it, the first run is staged under its OWN
+        # key — on a cold compile cache it overstates the warm per-video
+        # time several-fold, so it must not be readable as the real number
         if SMOKE or fits("t2v_object_timed", 140):
             t0 = time.time()
             out = fns_obj.sample(
@@ -496,12 +574,109 @@ def main():
             )
             fetch_video(out)
             obj_elapsed = time.time() - t0
+            log(f"t2v_object sampling: {obj_elapsed:.2f}s/video (300 steps)")
+            stage(t2v_object_sec_per_video=round(obj_elapsed, 3))
         else:
-            obj_elapsed = first
-        log(f"t2v_object sampling: {obj_elapsed:.2f}s/video (300 steps)")
-        stage(t2v_object_sec_per_video=round(obj_elapsed, 3))
+            log(
+                f"t2v_object first run only (includes executable load/"
+                f"compile): {first:.2f}s"
+            )
+            stage(t2v_object_first_run_sec=round(first, 3))
 
     guard("t2v_object", 260, sec_t2v_object)
+
+    # ---- i2v_sketch (configs/i2v_sketch.yaml: 200 steps / 120 guided,
+    # guidance_fraction 0.4, SparseCtrl PIXEL-space scribble conditioning —
+    # configs/sparsectrl/image_condition.yaml: 3-channel condition through
+    # the full conv embedding stack, reference i2v_video_sample.py:54-59).
+    # chunk_steps=40 tiles both phases exactly (120 = 3x40, 80 = 2x40), so
+    # one guided + one vanilla executable serve the whole schedule.
+    def sec_i2v_sketch():
+        import dataclasses
+
+        from motionclone_tpu.config import load_yaml
+        from motionclone_tpu.models.sparse_controlnet import (
+            SparseControlNetConfig,
+            SparseControlNetModel,
+            scatter_condition,
+        )
+        from motionclone_tpu.pipeline.motionclone import make_controlnet_apply
+
+        sk_cfg = InferenceConfig(
+            inference_steps=200,
+            guidance_steps=120,
+            guidance_fraction=0.4,
+            warm_up_steps=10,
+            cool_up_steps=10,
+            motion_guidance_weight=2000.0,
+            motion_guidance_blocks=GUIDANCE_BLOCKS,
+            width=size,
+            height=size,
+            video_length=n_frames,
+            cfg_scale=7.5,
+        )
+        cn_yaml = load_yaml("/root/repo/configs/sparsectrl/image_condition.yaml")
+        cn_cfg = SparseControlNetConfig.from_yaml_dict(
+            cn_yaml.get("controlnet_additional_kwargs", {}), unet_cfg
+        )
+        if SMOKE:
+            cn_cfg = dataclasses.replace(
+                cn_cfg,
+                motion_module=dataclasses.replace(
+                    cn_cfg.motion_module, num_attention_heads=2, norm_num_groups=4
+                ),
+            )
+        cn_model = SparseControlNetModel(cfg=cn_cfg, dtype=dtype)
+        # pixel conditioning enters at full image resolution (the conv
+        # embedding stack downsamples it back to latent resolution)
+        t0 = time.time()
+        cn_params = jax.jit(
+            lambda: cn_model.init(
+                jax.random.PRNGKey(3),
+                sample0,
+                jnp.array([1]),
+                ctx0,
+                jnp.zeros((1, F, size, size, 3), dtype),
+                jnp.zeros((1, F, size, size, 1), dtype),
+            )
+        )()
+        jax.block_until_ready(cn_params)
+        log(f"sketch controlnet params initialized in {time.time()-t0:.0f}s")
+        fns_sk = make_sampling_fns(
+            unet_cfg, sched_cfg, sk_cfg, dtype=dtype,
+            controlnet_apply=make_controlnet_apply(cn_model),
+        )
+        sketch01 = jnp.asarray(
+            rng.uniform(0.0, 1.0, size=(B, 1, size, size, 3)), jnp.float32
+        ).astype(dtype)
+        cn_cond_t, cn_mask = scatter_condition(sketch01, (0,), F)
+        cn_cond = (cn_cond_t, cn_mask.astype(dtype), 1.0)
+        t0 = time.time()
+        out = fns_sk.sample(
+            params, rand_latents(), uncond, cond, rep, cn_params, cn_cond,
+            chunk_steps=40,
+        )
+        jax.block_until_ready(fetch_video(out))
+        first = time.time() - t0
+        log(f"i2v_sketch compile+first run: {first:.0f}s")
+        if SMOKE or fits("i2v_sketch_timed", 120):
+            t0 = time.time()
+            out = fns_sk.sample(
+                params, rand_latents(), uncond, cond, rep, cn_params,
+                cn_cond, chunk_steps=40,
+            )
+            fetch_video(out)
+            sk_elapsed = time.time() - t0
+            log(f"i2v_sketch sampling: {sk_elapsed:.2f}s/video (200 steps)")
+            stage(i2v_sketch_sec_per_video=round(sk_elapsed, 3))
+        else:
+            log(
+                f"i2v_sketch first run only (includes executable load/"
+                f"compile): {first:.2f}s"
+            )
+            stage(i2v_sketch_first_run_sec=round(first, 3))
+
+    guard("i2v_sketch", 240, sec_i2v_sketch)
 
     # ---- extra approx points (lowest priority; PERF.md sweep context):
     # the r2 finer-cache recommendation, step-extrap:2, and the composition

@@ -28,7 +28,11 @@ too.  Run on an idle machine for representative numbers.
 ``--workload t2v_object`` runs the 300-step / 180-guided schedule
 (configs/t2v_object.yaml — cache drift over 3x the guided steps);
 ``--workload i2v`` runs the 100/40 SparseCtrl schedule
-(configs/i2v_rgb.yaml) with a per-step controlnet forward.
+(configs/i2v_rgb.yaml) with a per-step controlnet forward;
+``--workload i2v_sketch`` the 200/120 schedule with PIXEL-space scribble
+conditioning (configs/i2v_sketch.yaml + sparsectrl/image_condition.yaml —
+the fourth flagship workload, 3-channel condition through the full conv
+embedding stack).
 """
 
 import json
@@ -86,6 +90,9 @@ SCHEDULES = {
                        guidance_fraction=0.4, chunk_steps=60),
     "i2v": dict(inference_steps=100, guidance_steps=40,
                 guidance_fraction=0.3, chunk_steps=60),
+    # chunk_steps=40 tiles both phases exactly (120 = 3x40, 80 = 2x40)
+    "i2v_sketch": dict(inference_steps=200, guidance_steps=120,
+                       guidance_fraction=0.4, chunk_steps=40),
 }
 
 
@@ -128,7 +135,7 @@ def main():
     decode = jax.jit(_decode_uint8)
 
     controlnet_apply, cn_params, cn_cond = None, None, None
-    if WORKLOAD == "i2v":
+    if WORKLOAD in ("i2v", "i2v_sketch"):
         from motionclone_tpu.config import load_yaml
         from motionclone_tpu.models.sparse_controlnet import (
             SparseControlNetConfig,
@@ -137,21 +144,36 @@ def main():
         )
         from motionclone_tpu.pipeline.motionclone import make_controlnet_apply
 
-        cn_yaml = load_yaml("/root/repo/configs/sparsectrl/latent_condition.yaml")
+        cn_file = (
+            "latent_condition.yaml" if WORKLOAD == "i2v"
+            else "image_condition.yaml"
+        )
+        cn_yaml = load_yaml(f"/root/repo/configs/sparsectrl/{cn_file}")
         cn_cfg = SparseControlNetConfig.from_yaml_dict(
             cn_yaml.get("controlnet_additional_kwargs", {}), unet_cfg
         )
         cn_model = SparseControlNetModel(cfg=cn_cfg, dtype=dtype)
+        rng_cn = np.random.default_rng(7)
+        if WORKLOAD == "i2v":
+            # latent conditioning: 4-channel condition at latent resolution
+            ch, chw = 4, H
+            cond_img = jnp.asarray(
+                rng_cn.normal(size=(B, 1, chw, chw, ch)), jnp.float32
+            ).astype(dtype)
+        else:
+            # pixel conditioning: 3-channel scribble at image resolution,
+            # downsampled back by the full conv embedding stack
+            ch, chw = 3, infer_cfg.height
+            cond_img = jnp.asarray(
+                rng_cn.uniform(0.0, 1.0, size=(B, 1, chw, chw, ch)),
+                jnp.float32,
+            ).astype(dtype)
         cn_params = jax.jit(lambda: cn_model.init(
             jax.random.PRNGKey(2), jnp.zeros((B, F, H, W, 4), dtype),
             jnp.array([1]), jnp.zeros((B, 77, 768), dtype),
-            jnp.zeros((B, F, H, W, 4), dtype),
-            jnp.zeros((B, F, H, W, 1), dtype)))()
+            jnp.zeros((B, F, chw, chw, ch), dtype),
+            jnp.zeros((B, F, chw, chw, 1), dtype)))()
         jax.block_until_ready(cn_params)
-        rng_cn = np.random.default_rng(7)
-        cond_img = jnp.asarray(
-            rng_cn.normal(size=(B, 1, H, W, 4)), jnp.float32
-        ).astype(dtype)
         cn_cond_t, cn_mask = scatter_condition(cond_img, (0,), F)
         cn_cond = (cn_cond_t, cn_mask.astype(dtype), 1.0)
         controlnet_apply = make_controlnet_apply(cn_model)
