@@ -505,6 +505,137 @@ def test_cli_synthetic_file_to_mp4(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(root, "out", "inference_config.json"))
 
 
+def _build_controlnet(root, flavor):
+    """Synthetic SparseCtrl checkpoint + config YAML for the tiny topology.
+
+    ``flavor``: "pixel" (scribble/sketch analog — 3-channel condition
+    through the full conv embedding stack, configs/sparsectrl/
+    image_condition.yaml) or "latent" (4-channel VAE-encoded condition,
+    latent_condition.yaml).  The .ckpt carries the ``pos_encoder.pe``
+    buffers real checkpoints have, which the loader must skip
+    (reference i2v_video_sample.py:54-59).
+    """
+    from safetensors import numpy as st_numpy  # noqa: F401  (torch saves)
+    from motionclone_tpu.models.sparse_controlnet import (
+        SparseControlNetConfig,
+        SparseControlNetModel,
+    )
+
+    torch = pytest.importorskip("torch")
+    unet_cfg = _tiny_sd15_unet_cfg()
+    cn_yaml_kwargs = {
+        "set_noisy_sample_input_to_zero": True,
+        "use_motion_module": True,
+        "motion_module_resolutions": [1, 2, 4, 8],
+        "motion_module_mid_block": False,
+        "motion_module_kwargs": {
+            "num_attention_heads": 2,
+            "num_transformer_block": 1,
+            "attention_block_types": ["Temporal_Self"],
+            "temporal_position_encoding": True,
+            "temporal_position_encoding_max_len": 32,
+            "norm_num_groups": 4,
+        },
+    }
+    if flavor == "pixel":
+        cn_yaml_kwargs.update(
+            use_simplified_condition_embedding=False, conditioning_channels=3
+        )
+    else:
+        cn_yaml_kwargs.update(
+            use_simplified_condition_embedding=True, conditioning_channels=4
+        )
+    with open(os.path.join(root, f"sparsectrl_{flavor}.yaml"), "w") as f:
+        yaml.safe_dump({"controlnet_additional_kwargs": cn_yaml_kwargs}, f)
+
+    cn_cfg = SparseControlNetConfig.from_yaml_dict(cn_yaml_kwargs, unet_cfg)
+    cond_hw = 8 if cn_cfg.use_simplified_condition_embedding else 8 * (
+        2 ** (len(cn_cfg.conditioning_embedding_out_channels) - 1)
+    )
+    cn_tree = jax.eval_shape(
+        lambda: SparseControlNetModel(cfg=cn_cfg).init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 2, 8, 8, cn_cfg.in_channels)),
+            jnp.array([1]),
+            jnp.zeros((1, 77, cn_cfg.cross_attention_dim)),
+            jnp.zeros((1, 2, cond_hw, cond_hw, cn_cfg.conditioning_channels)),
+            jnp.zeros((1, 2, cond_hw, cond_hw, 1)),
+        )
+    )
+    cn_sd = _synth(cn_tree, seed=11)
+    ckpt = {
+        k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in cn_sd.items()
+    }
+    ckpt[
+        "down_blocks.0.motion_modules.0.temporal_transformer."
+        "transformer_blocks.0.attention_blocks.0.pos_encoder.pe"
+    ] = torch.zeros(1, 32, 8)
+    path = os.path.join(root, "weights", f"sparsectrl_{flavor}.ckpt")
+    torch.save(ckpt, path)
+    return path
+
+
+@pytest.mark.filterwarnings("ignore")
+@pytest.mark.parametrize("flavor", ["pixel", "latent"])
+def test_cli_synthetic_i2v_file_to_mp4(tmp_path, monkeypatch, flavor):
+    """The i2v CLI end-to-end on synthetic files: SparseCtrl checkpoint
+    load (pos_encoder filtering + strict validation), condition-image
+    loading + frame scatter, per-step controlnet forwards inside the
+    guided and vanilla phases, through to a real mp4 — the file-level
+    drive of the reference's i2v_video_sample.py:16-137 flow for both
+    conditioning flavors (pixel=sketch workload, latent=rgb workload)."""
+    from PIL import Image
+
+    from motionclone_tpu.cli import i2v_main
+    from motionclone_tpu.io.video import read_video_frames, write_video
+
+    root = str(tmp_path)
+    _build_model_dir(root)
+    cn_path = _build_controlnet(root, flavor)
+
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(6, 64, 64, 3), dtype=np.uint8
+    )
+    write_video(os.path.join(root, "ref.mp4"), frames, fps=8)
+    img = np.random.default_rng(1).integers(
+        0, 255, size=(64, 64, 3), dtype=np.uint8
+    )
+    Image.fromarray(img).save(os.path.join(root, "cond.png"))
+    with open(os.path.join(root, "examples.jsonl"), "w") as f:
+        f.write(json.dumps({
+            "video_path": "ref.mp4",
+            "new_prompt": "a cat running",
+            "condition_image_paths": ["cond.png"],
+            "image_index": [0],
+            "seed": 42,
+        }) + "\n")
+
+    # extend the shared inference yaml with the controlnet entries
+    with open(os.path.join(root, "inference.yaml")) as f:
+        infer = yaml.safe_load(f)
+    infer["controlnet_config"] = f"sparsectrl_{flavor}.yaml"
+    infer["controlnet_path"] = os.path.relpath(cn_path, root)
+    with open(os.path.join(root, "inference_i2v.yaml"), "w") as f:
+        yaml.safe_dump(infer, f)
+
+    monkeypatch.chdir(root)
+    i2v_main([
+        "--pretrained-model-path", "models/SD",
+        "--inference_config", "inference_i2v.yaml",
+        "--examples", "examples.jsonl",
+        "--motion-representation-save-dir", "reps",
+        "--generated-videos-save-dir", "out",
+        "--W", "64", "--H", "64", "--L", "4",
+        "--float32",
+    ])
+
+    outs = glob.glob(os.path.join(root, "out", "*.mp4"))
+    assert len(outs) == 1, outs
+    got, _fps = read_video_frames(outs[0])
+    assert got.shape[0] == 4 and got.shape[1:3] == (64, 64)
+    assert os.path.exists(os.path.join(root, "reps", "ref.npz"))
+
+
 @pytest.mark.filterwarnings("ignore")
 def test_synthetic_weights_override_chain(tmp_path, monkeypatch):
     """The loaded parameters reflect the whole merge chain: DreamBooth LDM
