@@ -224,6 +224,9 @@ def test_decode_latents_overlap_chunks_match_single_call():
     rt.vae_params = None
     rt.frame_sharding = None
     rt.frame_shard_map = None
+    from motionclone_tpu.models.vae import VAEConfig
+
+    rt.vae_cfg = VAEConfig()
     calls = []
 
     def fake_decode(p, z):

@@ -21,6 +21,7 @@ from motionclone_tpu.config import (
 )
 from motionclone_tpu.io.video import write_video
 from motionclone_tpu.models.unet3d import UNet3DConditionModel
+from motionclone_tpu.models.vae import VAEConfig
 from motionclone_tpu.pipeline.motionclone import make_sampling_fns
 from motionclone_tpu.pipeline.sweep import run_sweep
 
@@ -90,6 +91,7 @@ def _stub_runtime(uncond_interval=1, guidance_interval=1, uncond_extrap=0.0,
         cn_cfg=None,
         clip_params=None,
         vae_params=None,
+        vae_cfg=VAEConfig(),
         pipeline=SimpleNamespace(
             fns=fns, params=params, cn_params=None, controlnet_apply=None
         ),
