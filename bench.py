@@ -565,8 +565,10 @@ def main():
         # the second (timed) run re-dispatches the same warm executables; if
         # the budget cannot absorb it, the first run is staged under its OWN
         # key — on a cold compile cache it overstates the warm per-video
-        # time several-fold, so it must not be readable as the real number
-        if SMOKE or fits("t2v_object_timed", 140):
+        # time several-fold, so it must not be readable as the real number.
+        # (est 115 = measured warm timed run 119.8 s; the staged-JSON +
+        # SIGTERM emission makes a small overrun harmless, unlike r03)
+        if SMOKE or fits("t2v_object_timed", 115):
             t0 = time.time()
             out = fns_obj.sample(
                 params, rand_latents(), uncond, cond, rep, None, None,
