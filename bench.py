@@ -74,7 +74,13 @@ if SMOKE:
     jax.config.update("jax_platforms", "cpu")
 
 START = time.time()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "840"))
+# default sized against the driver's observed external timeout: the r03
+# artifact was killed at >=1100 s elapsed (its log reaches ~1140 s), so a
+# 1050 s budget leaves margin while fitting the full warm section set
+# (measured: headline+phase 205, approx 120, i2v 230, t2v_object 290,
+# extra approx points 70 — ~930 s total; i2v_sketch is the one section
+# that still only fits an enlarged BENCH_BUDGET_S run)
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1050"))
 
 # ---- staged results: whatever exists at exit IS the artifact ----------
 RESULTS = {
