@@ -21,10 +21,13 @@ the JSON dict is STAGED as each section completes and printed by an
 atexit/SIGTERM handler, so an external kill at any point still yields every
 key measured so far.  Sections after the required headline run as guarded
 closures, ordered by value — phase timing, the recommended approx point,
-i2v, t2v_object, extra approx points: a section that would not fit the
-remaining wall budget (BENCH_BUDGET_S, default 840 s) is skipped, and a
-section that CRASHES is absorbed (named in the ``skipped`` key) instead of
-killing the sections after it.  Running each section body as a function
+i2v, t2v_object, i2v_sketch, extra approx points: a section that would not
+fit the remaining wall budget (BENCH_BUDGET_S, default 1050 s — sized
+against the driver's observed external timeout, see the constant below) is
+skipped, and a section that CRASHES is absorbed (named in the ``skipped``
+key) instead of killing the sections after it.  Backend acquisition
+retries across the wedged-tunnel window (the r04 failure mode) before any
+section runs — see ``acquire_devices``.  Running each section body as a function
 also drops its device buffers on return — the i2v controlnet params +
 executables left resident previously pushed the t2v_object guided chunk
 over the 15.75 GB HBM (measured RESOURCE_EXHAUSTED).
@@ -431,18 +434,56 @@ def main():
 
     guard("approx_step3", 60, sec_approx_step3)
 
+    def build_controlnet(cn_file, cond_ch, cond_hw, seed):
+        """Shared i2v-section setup: a shipped sparsectrl YAML -> (model,
+        random params).  ``cond_hw``/``cond_ch`` set the conditioning
+        geometry (latent 4ch at latent res vs pixel 3ch at image res);
+        SMOKE shrinks the motion-module kwargs to the tiny topology (the
+        production YAMLs assume 32 norm groups / 8 heads)."""
+        from motionclone_tpu.config import load_yaml
+        from motionclone_tpu.models.sparse_controlnet import (
+            SparseControlNetConfig,
+            SparseControlNetModel,
+        )
+
+        cn_yaml = load_yaml(f"/root/repo/configs/sparsectrl/{cn_file}")
+        cn_cfg = SparseControlNetConfig.from_yaml_dict(
+            cn_yaml.get("controlnet_additional_kwargs", {}), unet_cfg
+        )
+        if SMOKE:
+            import dataclasses
+
+            cn_cfg = dataclasses.replace(
+                cn_cfg,
+                motion_module=dataclasses.replace(
+                    cn_cfg.motion_module, num_attention_heads=2, norm_num_groups=4
+                ),
+            )
+        cn_model = SparseControlNetModel(cfg=cn_cfg, dtype=dtype)
+        t0 = time.time()
+        cn_params = jax.jit(
+            lambda: cn_model.init(
+                jax.random.PRNGKey(seed),
+                sample0,
+                jnp.array([1]),
+                ctx0,
+                jnp.zeros((1, F, cond_hw, cond_hw, cond_ch), dtype),
+                jnp.zeros((1, F, cond_hw, cond_hw, 1), dtype),
+            )
+        )()
+        jax.block_until_ready(cn_params)
+        log(
+            f"{cn_file} controlnet params initialized in {time.time()-t0:.0f}s"
+        )
+        return cn_model, cn_params
+
     # ---- i2v (configs/i2v_rgb.yaml: 100 steps / 40 guided, SparseCtrl
     # latent conditioning — one controlnet forward per CFG half per step).
     # Random controlnet weights from the shipped production config; this
     # also demonstrates the guided i2v step (controlnet + grad-through-UNet)
     # fits the 15.75 GB HBM with the grad-safe attention impl.
     def sec_i2v():
-        from motionclone_tpu.config import load_yaml
-        from motionclone_tpu.models.sparse_controlnet import (
-            SparseControlNetConfig,
-            SparseControlNetModel,
-            scatter_condition,
-        )
+        from motionclone_tpu.models.sparse_controlnet import scatter_condition
         from motionclone_tpu.pipeline.motionclone import make_controlnet_apply
 
         i2v_cfg = InferenceConfig(
@@ -458,35 +499,9 @@ def main():
             video_length=n_frames,
             cfg_scale=7.5,
         )
-        cn_yaml = load_yaml("/root/repo/configs/sparsectrl/latent_condition.yaml")
-        cn_cfg = SparseControlNetConfig.from_yaml_dict(
-            cn_yaml.get("controlnet_additional_kwargs", {}), unet_cfg
+        cn_model, cn_params = build_controlnet(
+            "latent_condition.yaml", cond_ch=4, cond_hw=H, seed=2
         )
-        if SMOKE:
-            # the yaml's motion-module kwargs assume production channel
-            # counts (32 norm groups, 8 heads); shrink to the tiny topology
-            import dataclasses
-
-            cn_cfg = dataclasses.replace(
-                cn_cfg,
-                motion_module=dataclasses.replace(
-                    cn_cfg.motion_module, num_attention_heads=2, norm_num_groups=4
-                ),
-            )
-        cn_model = SparseControlNetModel(cfg=cn_cfg, dtype=dtype)
-        t0 = time.time()
-        cn_params = jax.jit(
-            lambda: cn_model.init(
-                jax.random.PRNGKey(2),
-                sample0,
-                jnp.array([1]),
-                ctx0,
-                jnp.zeros((1, F, H, W, 4), dtype),
-                jnp.zeros((1, F, H, W, 1), dtype),
-            )
-        )()
-        jax.block_until_ready(cn_params)
-        log(f"controlnet params initialized in {time.time()-t0:.0f}s")
         fns_i2v = make_sampling_fns(
             unet_cfg, sched_cfg, i2v_cfg, dtype=dtype,
             controlnet_apply=make_controlnet_apply(cn_model),
@@ -600,14 +615,7 @@ def main():
     # chunk_steps=40 tiles both phases exactly (120 = 3x40, 80 = 2x40), so
     # one guided + one vanilla executable serve the whole schedule.
     def sec_i2v_sketch():
-        import dataclasses
-
-        from motionclone_tpu.config import load_yaml
-        from motionclone_tpu.models.sparse_controlnet import (
-            SparseControlNetConfig,
-            SparseControlNetModel,
-            scatter_condition,
-        )
+        from motionclone_tpu.models.sparse_controlnet import scatter_condition
         from motionclone_tpu.pipeline.motionclone import make_controlnet_apply
 
         sk_cfg = InferenceConfig(
@@ -623,33 +631,11 @@ def main():
             video_length=n_frames,
             cfg_scale=7.5,
         )
-        cn_yaml = load_yaml("/root/repo/configs/sparsectrl/image_condition.yaml")
-        cn_cfg = SparseControlNetConfig.from_yaml_dict(
-            cn_yaml.get("controlnet_additional_kwargs", {}), unet_cfg
-        )
-        if SMOKE:
-            cn_cfg = dataclasses.replace(
-                cn_cfg,
-                motion_module=dataclasses.replace(
-                    cn_cfg.motion_module, num_attention_heads=2, norm_num_groups=4
-                ),
-            )
-        cn_model = SparseControlNetModel(cfg=cn_cfg, dtype=dtype)
         # pixel conditioning enters at full image resolution (the conv
         # embedding stack downsamples it back to latent resolution)
-        t0 = time.time()
-        cn_params = jax.jit(
-            lambda: cn_model.init(
-                jax.random.PRNGKey(3),
-                sample0,
-                jnp.array([1]),
-                ctx0,
-                jnp.zeros((1, F, size, size, 3), dtype),
-                jnp.zeros((1, F, size, size, 1), dtype),
-            )
-        )()
-        jax.block_until_ready(cn_params)
-        log(f"sketch controlnet params initialized in {time.time()-t0:.0f}s")
+        cn_model, cn_params = build_controlnet(
+            "image_condition.yaml", cond_ch=3, cond_hw=size, seed=3
+        )
         fns_sk = make_sampling_fns(
             unet_cfg, sched_cfg, sk_cfg, dtype=dtype,
             controlnet_apply=make_controlnet_apply(cn_model),

@@ -81,13 +81,33 @@ def convert_ldm_unet(
     without dots>``.  The reference's own ``load_weights`` never sets it
     (util.py:142-168); exposed for parity with the standalone converter.
     """
-    if extract_ema and sum(k.startswith("model_ema.") for k in sd) > 100:
+    has_ema = sum(k.startswith("model_ema.") for k in sd) > 100
+    if extract_ema and has_ema:
         src: StateDict = {}
         for k in sd:
             if k.startswith("model.diffusion_model."):
                 flat_ema = "model_ema." + "".join(k.split(".")[1:])
                 src[k[len("model.diffusion_model."):]] = sd[flat_ema]
     else:
+        # the reference warns in both mismatch directions
+        # (convert_from_ckpt.py:343-361) — a silent fallback would hand
+        # back non-EMA weights against an explicit request
+        import warnings
+
+        if extract_ema:
+            warnings.warn(
+                "extract_ema requested but the checkpoint carries no EMA "
+                "weights (<=100 model_ema.* keys) — extracting the non-EMA "
+                "weights instead",
+                stacklevel=2,
+            )
+        elif has_ema:
+            warnings.warn(
+                "checkpoint has both EMA and non-EMA weights; extracting "
+                "the non-EMA weights (pass extract_ema=True for the EMA "
+                "set, usually better for inference)",
+                stacklevel=2,
+            )
         src = _sub_keys(sd, "model.diffusion_model.")
     out: StateDict = {}
 

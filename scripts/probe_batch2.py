@@ -43,6 +43,11 @@ def timed_scan(fn, params, x, steps=STEPS):
     ``params`` must be a jit ARGUMENT (not a closure capture): closed-over
     arrays are baked into the HLO as constants, and 5 GB of weight
     constants sends XLA's constant folding off a cliff (>25 min compiles).
+
+    The timed dispatch gets a FRESH random buffer: a bf16 ``x * 1.000001``
+    rounds back bit-identical (bf16 spacing ~0.4%), which would make the
+    timed call eligible for the tunnel's identical-dispatch dedupe and put
+    the multiply's own dispatch inside the timed window.
     """
 
     @jax.jit
@@ -57,8 +62,11 @@ def timed_scan(fn, params, x, steps=STEPS):
 
     r = run(params, x)
     float(r)  # compile + sync through the tunnel
+    x2 = jnp.asarray(
+        np.random.default_rng(1234).normal(size=x.shape), jnp.float32
+    ).astype(x.dtype)
     t0 = time.time()
-    r = run(params, x * 1.000001)
+    r = run(params, x2)
     float(r)
     return (time.time() - t0) / steps
 

@@ -41,9 +41,14 @@ STEPS = 20
 S, D, HEADS, PACK = 4096, 40, 6, 3  # 6 heads -> 2 exact 3-head packs
 
 
-def timed_scan(fn, *xs, steps=STEPS):
-    """Device seconds per fn(*xs) application, amortized in one jitted scan
-    (chained through the carry so the tunnel cannot dedupe or hoist)."""
+def timed_scan(fn, make_xs, steps=STEPS):
+    """Device seconds per fn(*xs) application, amortized in one jitted scan.
+
+    In-graph, iterations chain through the carry (data dependence blocks
+    hoisting).  Across dispatches, the timed call gets FRESH random
+    buffers from ``make_xs`` — a bf16 ``x * 1.000001`` rounds back to x
+    (bf16 spacing ~0.4%), which would make the timed dispatch bit-identical
+    to the warmup and eligible for the tunnel's dispatch dedupe."""
 
     @jax.jit
     def run(*xs):
@@ -54,9 +59,9 @@ def timed_scan(fn, *xs, steps=STEPS):
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=steps)
         return c
 
-    float(run(*xs))  # compile + sync
+    float(run(*make_xs()))  # compile + sync
     t0 = time.time()
-    float(run(*[x * 1.000001 for x in xs]))
+    float(run(*make_xs()))  # fresh buffers — cannot be served as a replay
     return (time.time() - t0) / steps
 
 
@@ -75,12 +80,18 @@ def main():
     dtype = jnp.bfloat16
     print(f"devices: {jax.devices()}", flush=True)
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(HEADS, S, D)), jnp.float32).astype(dtype)
-    k = jnp.asarray(rng.normal(size=(HEADS, S, D)), jnp.float32).astype(dtype)
     g = HEADS // PACK
-    qp = q.reshape(g, PACK, S, D).transpose(0, 2, 1, 3).reshape(g, S, PACK * D)
-    kp4 = k.reshape(g, PACK, S, D)
-    kbd = blockdiag_keys(kp4)
+
+    def fresh_qk():
+        q = jnp.asarray(rng.normal(size=(HEADS, S, D)), jnp.float32).astype(dtype)
+        k = jnp.asarray(rng.normal(size=(HEADS, S, D)), jnp.float32).astype(dtype)
+        return q, k
+
+    def to_packed(q, k):
+        qp = q.reshape(g, PACK, S, D).transpose(0, 2, 1, 3).reshape(
+            g, S, PACK * D
+        )
+        return qp, k.reshape(g, PACK, S, D)
 
     def baseline(q, k):
         logits = jnp.einsum(
@@ -97,9 +108,13 @@ def main():
     def packed_with_build(qp, kp4):
         return packed(qp, blockdiag_keys(kp4))
 
-    t_base = timed_scan(baseline, q, k)
-    t_pack = timed_scan(packed, qp, kbd)
-    t_pack_b = timed_scan(packed_with_build, qp, kp4)
+    def fresh_prebuilt():
+        qp, kp4 = to_packed(*fresh_qk())
+        return qp, blockdiag_keys(kp4)
+
+    t_base = timed_scan(baseline, fresh_qk)
+    t_pack = timed_scan(packed, fresh_prebuilt)
+    t_pack_b = timed_scan(packed_with_build, lambda: to_packed(*fresh_qk()))
     print(
         f"logits dots, {HEADS} heads S={S} d={D} (useful "
         f"{HEADS*S*S*D*2/1e9:.0f} GFLOP/call):\n"

@@ -13,6 +13,7 @@ traceback with a null JSON line.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -21,7 +22,15 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import bench  # noqa: E402  (module import only registers handlers)
+# bench's import installs SIGTERM/SIGINT handlers that os._exit — inside
+# pytest those would swallow Ctrl-C / harness TERMs for the whole session,
+# so capture and restore the previous handlers around the import
+_prev_int = signal.getsignal(signal.SIGINT)
+_prev_term = signal.getsignal(signal.SIGTERM)
+import bench  # noqa: E402
+
+signal.signal(signal.SIGINT, _prev_int)
+signal.signal(signal.SIGTERM, _prev_term)
 
 # disarm bench's atexit JSON emission — this is pytest, not a bench run
 bench._emitted = True
@@ -54,8 +63,10 @@ def test_recovers_after_transient_failure(monkeypatch):
         return [_Dev("tpu")]
 
     monkeypatch.setattr(bench.jax, "devices", flaky)
-    # left ~4 s at start -> two capped sleeps fit before the deadline
-    _window(monkeypatch, budget=700.0, elapsed=416.0)
+    # left ~60 s at start: two capped (0.1 s) sleeps always fit, even on a
+    # badly loaded machine — a too-tight window here would trip the
+    # exhaustion path, whose os._exit(1) kills the whole pytest process
+    _window(monkeypatch, budget=700.0, elapsed=360.0)
     real_sleep = time.sleep
     monkeypatch.setattr(bench.time, "sleep", lambda s: real_sleep(min(s, 0.1)))
     staged = {}
@@ -76,7 +87,7 @@ def test_cpu_fallback_rejected_then_tpu(monkeypatch):
         return [_Dev("cpu" if calls["n"] == 1 else "tpu")]
 
     monkeypatch.setattr(bench.jax, "devices", cpu_then_tpu)
-    _window(monkeypatch, budget=700.0, elapsed=414.0)
+    _window(monkeypatch, budget=700.0, elapsed=360.0)
     real_sleep = time.sleep
     monkeypatch.setattr(bench.time, "sleep", lambda s: real_sleep(min(s, 0.1)))
     monkeypatch.setattr(bench, "stage", lambda **kv: None)

@@ -515,7 +515,6 @@ def _build_controlnet(root, flavor):
     buffers real checkpoints have, which the loader must skip
     (reference i2v_video_sample.py:54-59).
     """
-    from safetensors import numpy as st_numpy  # noqa: F401  (torch saves)
     from motionclone_tpu.models.sparse_controlnet import (
         SparseControlNetConfig,
         SparseControlNetModel,
