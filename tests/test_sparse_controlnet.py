@@ -186,11 +186,17 @@ def test_i2v_pipeline_end_to_end():
 
 
 
-def _i2v_setup(batch: int, seed: int, **cfg_overrides):
+def _i2v_setup(batch: int, seed: int, simplified: bool = True,
+               **cfg_overrides):
     """Shared tiny-i2v fixture: configs, initialized UNet+controlnet, RNG
-    inputs (latents/embeddings/condition frames), and a motion rep."""
+    inputs (latents/embeddings/condition frames), and a motion rep.
+
+    ``simplified=False`` builds the PIXEL-conditioning flavor (the sketch
+    workload: 3-channel condition at image resolution through the conv
+    embedding stack — with 2 embedding levels here, image res = 2x the
+    latent res)."""
     unet_cfg = tiny_unet_config()
-    cn_cfg = tiny_cn_config(simplified=True)
+    cn_cfg = tiny_cn_config(simplified=simplified)
     knobs = dict(
         inference_steps=3,
         guidance_steps=1,
@@ -211,10 +217,13 @@ def _i2v_setup(batch: int, seed: int, **cfg_overrides):
     sample = jnp.zeros((1, F, H, W, 4))
     ctx = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
     unet_params = unet.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx)
+    cond_hw = H if simplified else H * 2
+    cond_ch = cn_cfg.conditioning_channels
     cn_model = SparseControlNetModel(cfg=cn_cfg)
     cn_params = cn_model.init(
         jax.random.PRNGKey(1), sample, jnp.array([1]), ctx,
-        jnp.zeros((1, F, H, W, 4)), jnp.zeros((1, F, H, W, 1)),
+        jnp.zeros((1, F, cond_hw, cond_hw, cond_ch)),
+        jnp.zeros((1, F, cond_hw, cond_hw, 1)),
     )
 
     rng = np.random.default_rng(seed)
@@ -225,7 +234,9 @@ def _i2v_setup(batch: int, seed: int, **cfg_overrides):
     cond_emb = jnp.asarray(
         rng.normal(size=(batch, 77, unet_cfg.cross_attention_dim)), jnp.float32
     )
-    frames = jnp.asarray(rng.normal(size=(batch, 1, H, W, 4)), jnp.float32)
+    frames = jnp.asarray(
+        rng.normal(size=(batch, 1, cond_hw, cond_hw, cond_ch)), jnp.float32
+    )
     s_hw = (H // 4) * (W // 4)
     heads = unet_cfg.motion_module.num_attention_heads
     rep = {}
@@ -325,6 +336,101 @@ def test_i2v_frame_sharded_matches_unsharded():
         controlnet_apply=make_controlnet_apply(cn_sharded),
         frame_sharding=fsh,
     )
+    with mesh:
+        out = fns.sample(
+            shard_params(unet_params, mesh),
+            jax.device_put(latents, fsh),
+            uncond, cond_emb, rep,
+            shard_params(cn_params, mesh),
+            (jax.device_put(cn_cond_t, fsh), jax.device_put(cn_mask, fsh), 1.0),
+        )
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_i2v_pixel_frame_sharded_matches_unsharded():
+    """Sketch-workload flavor (pixel-space condition through the conv
+    embedding stack) under GSPMD frame sharding: the image-resolution
+    3-channel condition shards on its frame axis like every other video
+    tensor, the embedding convs are per-frame (fully local), and the
+    result matches unsharded — the CLI's ``--frame-shard`` composed with
+    configs/i2v_sketch.yaml."""
+    from motionclone_tpu.parallel.mesh import (
+        frame_sharding,
+        make_mesh_video,
+        shard_params,
+    )
+    from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+
+    (unet_cfg, cn_cfg, sched_cfg, infer_cfg, unet_params, cn_model,
+     cn_params, latents, uncond, cond_emb, frames, rep) = _i2v_setup(
+        B, seed=21, simplified=False
+    )
+    cn_cond_t, cn_mask = scatter_condition(frames, (0,), F)
+    cn_cond = (cn_cond_t, cn_mask, 1.0)
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        controlnet_apply=make_controlnet_apply(cn_model),
+    )
+    ref = np.asarray(
+        fns_ref.sample(unet_params, latents, uncond, cond_emb, rep,
+                       cn_params, cn_cond)
+    )
+
+    mesh = make_mesh_video(frames=F)
+    fsh = frame_sharding(mesh)
+    cn_sharded = SparseControlNetModel(cfg=cn_cfg, attention_impl="chunked")
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        controlnet_apply=make_controlnet_apply(cn_sharded),
+        frame_sharding=fsh,
+    )
+    with mesh:
+        out = fns.sample(
+            shard_params(unet_params, mesh),
+            jax.device_put(latents, fsh),
+            uncond, cond_emb, rep,
+            shard_params(cn_params, mesh),
+            (jax.device_put(cn_cond_t, fsh), jax.device_put(cn_mask, fsh), 1.0),
+        )
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_i2v_pixel_frame_shard_map_matches_unsharded():
+    """Sketch flavor under the shard_map frame path: the frames_axis
+    controlnet gathers its temporal K/V across shards while its pixel-
+    space conditioning embeds shard-locally; matches unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from motionclone_tpu.parallel.mesh import make_mesh_video, shard_params
+    from motionclone_tpu.pipeline.motionclone import make_sampling_fns
+
+    (unet_cfg, cn_cfg, sched_cfg, infer_cfg, unet_params, cn_model,
+     cn_params, latents, uncond, cond_emb, frames, rep) = _i2v_setup(
+        B, seed=23, simplified=False
+    )
+    cn_cond_t, cn_mask = scatter_condition(frames, (0,), F)
+    cn_cond = (cn_cond_t, cn_mask, 1.0)
+
+    fns_ref = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        controlnet_apply=make_controlnet_apply(cn_model),
+    )
+    ref = np.asarray(
+        fns_ref.sample(unet_params, latents, uncond, cond_emb, rep,
+                       cn_params, cn_cond)
+    )
+
+    mesh = make_mesh_video(frames=F)
+    cn_sharded = SparseControlNetModel(cfg=cn_cfg, frames_axis="frames")
+    fns = make_sampling_fns(
+        unet_cfg, sched_cfg, infer_cfg, dtype=jnp.float32, remat_guided=False,
+        controlnet_apply=make_controlnet_apply(cn_sharded),
+        frame_shard_map=mesh,
+    )
+    fsh = NamedSharding(mesh, P(None, "frames"))
     with mesh:
         out = fns.sample(
             shard_params(unet_params, mesh),
